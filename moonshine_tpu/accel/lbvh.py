@@ -1,0 +1,404 @@
+"""LBVH construction over world-space triangles.
+
+TPU-native replacement for the reference's Vulkan KHR BLAS/TLAS
+(engine/hrtsystem/Accel.zig:94-563). The driver hardware there builds an
+opaque acceleration structure; here we build a Karras radix tree over
+Morton-sorted triangle centroids (Karras 2012, "Maximally Parallel
+Construction of BVHs") entirely with vectorized numpy — no Python-level
+recursion — then flatten it into fixed-size arrays with *skip links* so
+device-side traversal is a single stackless while loop.
+
+Key properties:
+  * 64-bit sort keys (30-bit Morton << 32 | index) are strictly increasing,
+    so the radix tree depth is bounded by the key width — every bottom-up /
+    top-down pass loop below converges in <= 64 iterations even for
+    degenerate (all-coincident) geometry.
+  * Each internal node covers a contiguous range of the Morton-sorted
+    triangle array, so leaves collapse to (offset, count) pairs over the
+    sorted order; traversal needs only `left` + `escape` per node.
+  * Arrays are padded to a power of two by default so scenes of similar
+    size share XLA executables.
+
+Refit (the reference's TLAS update path, Accel.zig:567-679) is
+`refit(bvh, tri_verts)`: topology is kept, AABBs are recomputed bottom-up
+in jnp — cheap enough to run per-frame for animated scenes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+SENTINEL = np.int32(-1)  # escape target meaning "traversal done"
+
+
+class BVH(NamedTuple):
+    """Flattened BVH. Node 0 is the root. count[i] == 0 marks an internal
+    node whose left child is left[i] (the right child is reached through the
+    left subtree's escape link); count[i] > 0 marks a leaf covering
+    tri_order[left[i] : left[i]+count[i]].
+    """
+
+    aabb_min: jnp.ndarray  # [M, 3] f32
+    aabb_max: jnp.ndarray  # [M, 3] f32
+    left: jnp.ndarray  # [M] i32: left child (internal) or tri offset (leaf)
+    count: jnp.ndarray  # [M] i32: 0 internal, >0 leaf triangle count
+    escape: jnp.ndarray  # [M] i32: next node when skipping this subtree
+    tri_order: jnp.ndarray  # [T] i32: Morton-sorted triangle permutation
+    num_nodes: int
+    num_tris: int
+    # parity bookkeeping: parent links enable jnp refit (Accel.zig refit path)
+    parent: jnp.ndarray  # [M] i32, -1 for root
+
+
+def _expand_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of v to every third bit (Morton helper)."""
+    v = v.astype(np.uint64)
+    v = (v * np.uint64(0x00010001)) & np.uint64(0xFF0000FF)
+    v = (v * np.uint64(0x00000101)) & np.uint64(0x0F00F00F)
+    v = (v * np.uint64(0x00000011)) & np.uint64(0xC30C30C3)
+    v = (v * np.uint64(0x00000005)) & np.uint64(0x49249249)
+    return v
+
+
+def morton3d(points01: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes of points in [0,1]^3. [N,3] -> [N] uint64."""
+    q = np.clip(points01 * 1024.0, 0.0, 1023.0).astype(np.uint64)
+    return (
+        (_expand_bits(q[:, 0]) << np.uint64(2))
+        | (_expand_bits(q[:, 1]) << np.uint64(1))
+        | _expand_bits(q[:, 2])
+    )
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64 array (64 for x == 0)."""
+    # via float64 exponent trick is lossy for >53 bits; do it in two 32-bit halves
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    clz_hi = 32 - _bit_length_u32(hi)
+    clz_lo = 32 - _bit_length_u32(lo)
+    return np.where(hi != 0, clz_hi, 32 + clz_lo).astype(np.int64)
+
+
+def _bit_length_u32(x: np.ndarray) -> np.ndarray:
+    """Position of highest set bit (0 for x == 0)."""
+    out = np.zeros(x.shape, np.int64)
+    v = x.astype(np.uint32).copy()
+    for shift in (16, 8, 4, 2, 1):
+        mask = v >= (np.uint32(1) << np.uint32(shift))
+        out = np.where(mask, out + shift, out)
+        v = np.where(mask, v >> np.uint32(shift), v)
+    return out + (v > 0)
+
+
+def _karras_topology(keys: np.ndarray):
+    """Radix-tree topology over strictly-increasing uint64 keys.
+
+    Returns (left, right, leaf_range_lo, leaf_range_hi) where internal node
+    i in [0, n-2] has children indices encoded as: child >= 0 -> internal
+    node id, child < 0 -> leaf id ~child (bitwise complement).
+    """
+    n = len(keys)
+    assert n >= 2
+    idx = np.arange(n - 1, dtype=np.int64)
+
+    def delta(i, j):
+        """Common-prefix length of keys i, j; -1 out of range. i, j arrays."""
+        ok = (j >= 0) & (j < n)
+        jc = np.clip(j, 0, n - 1)
+        d = _clz64(keys[i] ^ keys[jc])
+        return np.where(ok, d, -1)
+
+    # direction of the range containing i
+    d = np.sign(delta(idx, idx + 1) - delta(idx, idx - 1)).astype(np.int64)
+    delta_min = delta(idx, idx - d)
+
+    # exponential search for an upper bound on range length
+    lmax = np.full(n - 1, 2, np.int64)
+    while True:
+        probe = delta(idx, idx + lmax * d) > delta_min
+        if not probe.any():
+            break
+        lmax = np.where(probe, lmax * 2, lmax)
+        if (lmax > 4 * n).all():
+            break
+
+    # binary search for the exact other end j
+    length = np.zeros(n - 1, np.int64)
+    t = lmax // 2
+    while (t >= 1).any():
+        probe = delta(idx, idx + (length + t) * d) > delta_min
+        length = np.where((t >= 1) & probe, length + t, length)
+        t = t // 2
+    j = idx + length * d
+
+    # binary search for the split position
+    delta_node = delta(idx, j)
+    s = np.zeros(n - 1, np.int64)
+    t = (length + 1) // 2  # ceil(length / 2)
+    while True:
+        probe = delta(idx, idx + (s + t) * d) > delta_node
+        s = np.where((t >= 1) & probe, s + t, s)
+        if (t <= 1).all():
+            break
+        t = (t + 1) // 2
+    gamma = idx + s * d + np.minimum(d, 0)
+
+    lo = np.minimum(idx, j)
+    hi = np.maximum(idx, j)
+    left = np.where(lo == gamma, ~gamma, gamma)  # ~x marks a leaf
+    right = np.where(hi == gamma + 1, ~(gamma + 1), gamma + 1)
+    return left.astype(np.int64), right.astype(np.int64), lo, hi
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
+def build(
+    tri_verts: np.ndarray,
+    leaf_size: int = 4,
+    pad_nodes_to_pow2: bool = True,
+) -> BVH:
+    """Build a flattened BVH over [T, 3, 3] world-space triangle vertices."""
+    tri_verts = np.asarray(tri_verts, np.float32)
+    T = len(tri_verts)
+    if T == 0:
+        raise ValueError("cannot build a BVH over zero triangles")
+
+    centroids = tri_verts.mean(axis=1)
+    lo, hi = centroids.min(axis=0), centroids.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    codes = morton3d((centroids - lo) / extent)
+    order = np.argsort(codes, kind="stable").astype(np.int64)
+    keys = (codes[order] << np.uint64(32)) | np.arange(T, dtype=np.uint64)
+
+    if T == 1:
+        return _single_leaf_bvh(tri_verts, order, pad_nodes_to_pow2)
+
+    left_c, right_c, range_lo, range_hi = _karras_topology(keys)
+    n_internal = T - 1
+    range_size = range_hi - range_lo + 1
+
+    # --- collapse: an internal node whose range fits in a leaf becomes one.
+    # A node is a kept internal node iff its range is larger than leaf_size.
+    keep_internal = range_size > leaf_size
+    # the root must exist even if T <= leaf_size
+    keep_internal[0] = keep_internal[0] or T > leaf_size
+    if T <= leaf_size:
+        return _single_leaf_bvh(tri_verts, order, pad_nodes_to_pow2, T)
+
+    # a child pointer becomes a leaf if it points at (a) a Karras leaf or
+    # (b) an internal node with range_size <= leaf_size
+    def resolve_child(child):
+        is_karras_leaf = child < 0
+        ci = np.where(is_karras_leaf, ~child, child)
+        child_lo = np.where(is_karras_leaf, ci, range_lo[np.clip(ci, 0, n_internal - 1)])
+        child_hi = np.where(is_karras_leaf, ci, range_hi[np.clip(ci, 0, n_internal - 1)])
+        child_is_leaf = is_karras_leaf | ~keep_internal[np.clip(ci, 0, n_internal - 1)]
+        return ci, child_lo, child_hi, child_is_leaf
+
+    li, llo, lhi, lleaf = resolve_child(left_c)
+    ri, rlo, rhi, rleaf = resolve_child(right_c)
+
+    kept_ids = np.nonzero(keep_internal)[0]
+    n_kept = len(kept_ids)
+    new_id = np.full(n_internal, -1, np.int64)
+    new_id[kept_ids] = np.arange(n_kept)
+
+    # output node array: kept internal nodes first, then leaves
+    n_leaves = int(lleaf[kept_ids].sum() + rleaf[kept_ids].sum())
+    M = n_kept + n_leaves
+    node_left = np.zeros(M, np.int64)
+    node_count = np.zeros(M, np.int64)
+    node_lo = np.zeros(M, np.int64)  # triangle range, for AABB + escape calc
+    node_hi = np.zeros(M, np.int64)
+    child_left = np.full(M, -1, np.int64)  # in new ids
+    child_right = np.full(M, -1, np.int64)
+    parent = np.full(M, -1, np.int64)
+
+    node_lo[:n_kept] = range_lo[kept_ids]
+    node_hi[:n_kept] = range_hi[kept_ids]
+
+    # assign leaf slots
+    leaf_cursor = n_kept
+    # left children that are leaves
+    l_is_leaf_k = lleaf[kept_ids]
+    n_left_leaves = int(l_is_leaf_k.sum())
+    left_leaf_slots = np.arange(leaf_cursor, leaf_cursor + n_left_leaves)
+    leaf_cursor += n_left_leaves
+    r_is_leaf_k = rleaf[kept_ids]
+    n_right_leaves = int(r_is_leaf_k.sum())
+    right_leaf_slots = np.arange(leaf_cursor, leaf_cursor + n_right_leaves)
+
+    cl = np.where(l_is_leaf_k, -1, new_id[np.clip(li[kept_ids], 0, n_internal - 1)])
+    cl[l_is_leaf_k] = left_leaf_slots
+    cr = np.where(r_is_leaf_k, -1, new_id[np.clip(ri[kept_ids], 0, n_internal - 1)])
+    cr[r_is_leaf_k] = right_leaf_slots
+    child_left[:n_kept] = cl
+    child_right[:n_kept] = cr
+    parent[cl] = np.arange(n_kept)
+    parent[cr] = np.arange(n_kept)
+
+    node_lo[left_leaf_slots] = llo[kept_ids][l_is_leaf_k]
+    node_hi[left_leaf_slots] = lhi[kept_ids][l_is_leaf_k]
+    node_count[left_leaf_slots] = node_hi[left_leaf_slots] - node_lo[left_leaf_slots] + 1
+    node_lo[right_leaf_slots] = rlo[kept_ids][r_is_leaf_k]
+    node_hi[right_leaf_slots] = rhi[kept_ids][r_is_leaf_k]
+    node_count[right_leaf_slots] = node_hi[right_leaf_slots] - node_lo[right_leaf_slots] + 1
+
+    node_left[:n_kept] = child_left[:n_kept]
+    node_left[n_kept:] = node_lo[n_kept:]  # leaves: triangle offset
+
+    # --- escape links: escape(left child) = right sibling;
+    # escape(right child) = escape(parent); escape(root) = SENTINEL.
+    escape = np.full(M, -2, np.int64)
+    escape[0] = -1
+    for _ in range(70):  # depth bound: 64-bit keys
+        unresolved = escape == -2
+        if not unresolved.any():
+            break
+        p = parent
+        is_left = np.zeros(M, bool)
+        valid_p = p >= 0
+        is_left[valid_p] = (
+            child_left[np.clip(p, 0, M - 1)][valid_p] == np.arange(M)[valid_p]
+        )
+        cand = np.where(
+            is_left,
+            child_right[np.clip(p, 0, M - 1)],
+            escape[np.clip(p, 0, M - 1)],
+        )
+        ready = valid_p & (np.where(is_left, True, cand != -2))
+        escape = np.where(unresolved & ready, cand, escape)
+
+    assert not (escape == -2).any(), "escape link propagation did not converge"
+
+    # --- AABBs bottom-up over sorted triangle ranges.
+    sorted_verts = tri_verts[order]  # [T, 3, 3]
+    # prefix min/max over sorted triangle AABBs lets us compute any
+    # contiguous-range AABB in O(1)... but prefix min is monotone, ranges
+    # need segment trees. Ranges here are node ranges; do it directly:
+    tri_min = sorted_verts.min(axis=1)  # [T, 3]
+    tri_max = sorted_verts.max(axis=1)
+    aabb_min = np.empty((M, 3), np.float32)
+    aabb_max = np.empty((M, 3), np.float32)
+    # leaves: reduce over their (small) ranges
+    for k in range(1, leaf_size + 1):
+        sel = node_count == k
+        if not sel.any():
+            continue
+        base = node_lo[sel]
+        mins = tri_min[base]
+        maxs = tri_max[base]
+        for j in range(1, k):
+            mins = np.minimum(mins, tri_min[base + j])
+            maxs = np.maximum(maxs, tri_max[base + j])
+        aabb_min[sel] = mins
+        aabb_max[sel] = maxs
+    # internal: union of children, bottom-up passes
+    done = node_count > 0
+    for _ in range(70):
+        if done.all():
+            break
+        can = ~done & done[np.clip(child_left, 0, M - 1)] & done[np.clip(child_right, 0, M - 1)]
+        if not can.any():
+            break
+        aabb_min[can] = np.minimum(
+            aabb_min[child_left[can]], aabb_min[child_right[can]]
+        )
+        aabb_max[can] = np.maximum(
+            aabb_max[child_left[can]], aabb_max[child_right[can]]
+        )
+        done |= can
+    assert done.all(), "AABB propagation did not converge"
+
+    escape = np.where(escape == -1, SENTINEL, escape)
+
+    if pad_nodes_to_pow2:
+        Mp = _next_pow2(M)
+        pad = Mp - M
+        if pad:
+            aabb_min = np.pad(aabb_min, ((0, pad), (0, 0)), constant_values=np.inf)
+            aabb_max = np.pad(aabb_max, ((0, pad), (0, 0)), constant_values=-np.inf)
+            node_left = np.pad(node_left, (0, pad))
+            node_count = np.pad(node_count, (0, pad), constant_values=1)
+            escape = np.pad(escape, (0, pad), constant_values=SENTINEL)
+            parent = np.pad(parent, (0, pad), constant_values=-1)
+
+    return BVH(
+        aabb_min=jnp.asarray(aabb_min),
+        aabb_max=jnp.asarray(aabb_max),
+        left=jnp.asarray(node_left, jnp.int32),
+        count=jnp.asarray(node_count, jnp.int32),
+        escape=jnp.asarray(escape, jnp.int32),
+        tri_order=jnp.asarray(order, jnp.int32),
+        num_nodes=M,
+        num_tris=T,
+        parent=jnp.asarray(parent, jnp.int32),
+    )
+
+
+def _single_leaf_bvh(tri_verts, order, pad, count=None):
+    """Degenerate tree: the root is the only (leaf) node."""
+    T = count if count is not None else 1
+    sorted_verts = tri_verts[order]
+    amin = sorted_verts.min(axis=(0, 1))[None]
+    amax = sorted_verts.max(axis=(0, 1))[None]
+    return BVH(
+        aabb_min=jnp.asarray(amin, jnp.float32),
+        aabb_max=jnp.asarray(amax, jnp.float32),
+        left=jnp.zeros(1, jnp.int32),
+        count=jnp.full(1, T, jnp.int32),
+        escape=jnp.full(1, SENTINEL, jnp.int32),
+        tri_order=jnp.asarray(order, jnp.int32),
+        num_nodes=1,
+        num_tris=len(tri_verts),
+        parent=jnp.full(1, -1, jnp.int32),
+    )
+
+
+def refit(bvh: BVH, tri_verts: jnp.ndarray, max_leaf_size: int = 4, depth_bound: int = 70) -> BVH:
+    """Recompute AABBs for new vertex positions, keeping topology.
+
+    jnp analogue of the reference's TLAS update-mode rebuild
+    (Accel.zig:567-679 recordRebuild). Runs fixed bottom-up passes (depth is
+    bounded by the 64-bit build keys), so it jits to a static program.
+    """
+    sorted_verts = tri_verts[bvh.tri_order]
+    tri_min = sorted_verts.min(axis=1)
+    tri_max = sorted_verts.max(axis=1)
+
+    M = bvh.left.shape[0]
+    is_leaf = bvh.count > 0
+    offs = bvh.left
+    lo = jnp.where(is_leaf[:, None], jnp.full((M, 3), jnp.inf), jnp.full((M, 3), jnp.inf))
+    hi = -lo
+    for j in range(max_leaf_size):
+        take = is_leaf & (j < bvh.count)
+        idx = jnp.clip(offs + j, 0, bvh.num_tris - 1)
+        lo = jnp.where(take[:, None], jnp.minimum(lo, tri_min[idx]), lo)
+        hi = jnp.where(take[:, None], jnp.maximum(hi, tri_max[idx]), hi)
+
+    # bottom-up: child boxes into parents, fixed passes
+    left_child = jnp.clip(bvh.left, 0, M - 1)
+    # right child = escape of left child (construction invariant)
+    right_child = jnp.clip(bvh.escape[left_child], 0, M - 1)
+    internal = ~is_leaf
+
+    def body(_, lohi):
+        lo, hi = lohi
+        nlo = jnp.minimum(lo[left_child], lo[right_child])
+        nhi = jnp.maximum(hi[left_child], hi[right_child])
+        lo = jnp.where(internal[:, None], nlo, lo)
+        hi = jnp.where(internal[:, None], nhi, hi)
+        return lo, hi
+
+    import jax
+
+    lo, hi = jax.lax.fori_loop(0, depth_bound, body, (lo, hi))
+    return bvh._replace(aabb_min=lo, aabb_max=hi)
