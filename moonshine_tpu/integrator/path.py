@@ -1,0 +1,408 @@
+"""Unidirectional path tracer with NEE + MIS, batched over rays.
+
+Behavioral parity target: PathTracingIntegrator
+(shaders/hrtsystem/integrator.hlsl:55-184), including:
+  * emissive handling — plain accumulation on primary/delta/unsampled hits,
+    power-heuristic MIS against the area-light pdf otherwise (:109-124)
+  * termination order — max-bounce cut *after* emissive, russian roulette
+    (p = min(0.95, luminance(throughput))) after bounce 3 (:126-135)
+  * NEE from the env map and from emissive meshes, skipped on delta
+    materials, each with power-heuristic MIS (:139-151)
+  * throughput update f * |cos| / pdf, pdf==0 kills the lane (:153-163)
+  * env-map miss radiance with MIS unless primary/delta (:166-180)
+
+The reference runs this as a per-thread megakernel on RT hardware; here one
+`lax.while_loop` advances every lane in lockstep with masks, and each
+iteration issues one batched closest-hit plus the NEE shadow batches.
+Inactive lanes idle until the batch drains (wavefront compaction is the
+planned optimization; semantics are already final).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import traverse
+from ..bsdf import materials as B
+from ..core import rng as R
+from ..core.frame import Frame, cos_theta
+from ..core.mathutil import (
+    INF_T,
+    dot,
+    face_forward,
+    luminance,
+    normalize,
+    offset_along_normal,
+    safe_normalize,
+)
+from ..lights.envmap import (
+    envmap_incoming_radiance,
+    eval_envmap,
+    sample_envmap,
+)
+from ..lights.mesh_lights import area_to_solid_angle, sample_mesh_lights
+from ..scene.textures import sample_texture
+
+
+@dataclass(frozen=True)
+class PathConfig:
+    """Static compile-time knobs (the reference's specialization constants,
+    hrtsystem/pipeline.zig:319-327). Changing one re-jits, which is the
+    XLA analogue of the reference's pipeline rebuild."""
+
+    max_bounces: int = 4
+    env_samples_per_bounce: int = 1
+    mesh_samples_per_bounce: int = 1
+
+
+def power_heuristic(numf, f_pdf, numg, g_pdf):
+    """Power heuristic, exponent 2 (integrator.hlsl:10-16)."""
+    f = numf * f_pdf
+    g = numg * g_pdf
+    f2 = f * f
+    return f2 / jnp.maximum(f2 + g * g, 1e-30)
+
+
+def _interp(bary_u, bary_v, corners):
+    """Barycentric interpolation of [N,3,C] corner attributes."""
+    b0 = (1.0 - bary_u - bary_v)[..., None]
+    return (
+        b0 * corners[:, 0]
+        + bary_u[..., None] * corners[:, 1]
+        + bary_v[..., None] * corners[:, 2]
+    )
+
+
+def _tangent_bitangent(p0, p1, p2, t0, t1, t2):
+    """UV-gradient tangent frame (world.hlsl:86-100)."""
+    dt02 = t0 - t2
+    dt12 = t1 - t2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = dt02[..., 0] * dt12[..., 1] - dt02[..., 1] * dt12[..., 0]
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tangent = safe_normalize(
+        (dt12[..., 1:2] * dp02 - dt02[..., 1:2] * dp12) * inv[..., None]
+    )
+    bitangent = safe_normalize(
+        (-dt12[..., 0:1] * dp02 + dt02[..., 0:1] * dp12) * inv[..., None]
+    )
+    # degenerate uvs: fall back to an arbitrary frame around the normal
+    n = safe_normalize(jnp.cross(p2 - p0, p1 - p0))
+    fallback = Frame.from_normal(n)
+    bad = (jnp.abs(det) < 1e-12)[..., None]
+    tangent = jnp.where(bad, fallback.s, tangent)
+    bitangent = jnp.where(bad, fallback.t, bitangent)
+    return tangent, bitangent
+
+
+def _decode_hit(scene, tri, bary_u, bary_v):
+    """Gather and interpolate surface attributes at a hit
+    (world.hlsl:107-177 MeshAttributes).
+
+    Returns (position, uv, tri_frame, vtx_frame, mat_id, sampled).
+    """
+    corners = scene.corner_positions(tri)
+    uvs = scene.tri_uvs[tri]
+    nrms = scene.tri_normals[tri]
+
+    position = _interp(bary_u, bary_v, corners)
+    uv = _interp(bary_u, bary_v, uvs)
+
+    p0, p1, p2 = corners[:, 0], corners[:, 1], corners[:, 2]
+    t0, t1, t2 = uvs[:, 0], uvs[:, 1], uvs[:, 2]
+    tangent, bitangent = _tangent_bitangent(p0, p1, p2, t0, t1, t2)
+    tri_n = safe_normalize(jnp.cross(p0 - p2, p1 - p2))
+    tri_frame = Frame(n=tri_n, s=tangent, t=bitangent).reorthogonalize()
+
+    vtx_n = safe_normalize(_interp(bary_u, bary_v, nrms))
+    vtx_frame = Frame(n=vtx_n, s=tri_frame.s, t=tri_frame.t).reorthogonalize()
+
+    mat_id = scene.tri_material[tri]
+    sampled = scene.tri_sampled[tri]
+    return position, uv, tri_frame, vtx_frame, mat_id, sampled
+
+
+def _decode_material(scene, mat_id, uv):
+    """Texture lookups -> per-lane material parameters
+    (material.hlsl loads :146-199 + getEmissive :519-522)."""
+    m = scene.materials
+    color = sample_texture(scene.atlas, m.color_tex[mat_id], uv)[..., :3]
+    metalness = sample_texture(scene.atlas, m.metalness_tex[mat_id], uv)[..., 0]
+    roughness = sample_texture(scene.atlas, m.roughness_tex[mat_id], uv)[..., 0]
+    emissive = sample_texture(scene.atlas, m.emissive_tex[mat_id], uv)[..., :3]
+    lanes = B.MaterialLanes(
+        type=m.type[mat_id],
+        color=color,
+        metalness=metalness,
+        alpha=jnp.maximum(roughness * roughness, 1e-3),
+        ior=m.ior[mat_id],
+    )
+    return lanes, emissive
+
+
+def _texture_frame(scene, mat_id, uv, vtx_frame):
+    """Normal-mapped shading frame (material.hlsl:489-517); two-component
+    normal decode is the reference default."""
+    rg = sample_texture(scene.atlas, scene.materials.normal_tex[mat_id], uv)[..., :2]
+    rg = rg * 2.0 - 1.0
+    z = jnp.sqrt(jnp.clip(1.0 - jnp.sum(rg * rg, axis=-1), 0.0, 1.0))
+    n_ts = jnp.concatenate([rg, z[..., None]], axis=-1)
+    n_ws = normalize(vtx_frame.frame_to_world(n_ts))
+    return Frame(n=n_ws, s=vtx_frame.s, t=vtx_frame.t).reorthogonalize()
+
+
+def _emissive_at(scene, tri, bary):
+    """Emitted radiance of a light sample point (NEE gather)."""
+    uvs = scene.tri_uvs[tri]
+    uv = _interp(bary[..., 0], bary[..., 1], uvs)
+    mat_id = scene.tri_material[tri]
+    return sample_texture(scene.atlas, scene.materials.emissive_tex[mat_id], uv)[..., :3]
+
+
+def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
+    """Estimate incoming radiance along N rays.
+
+    Returns (radiance [N,3], rng_state, rays_traced scalar f32).
+    rays_traced counts closest-hit + shadow rays actually issued (active
+    lanes), the Mrays/sec numerator.
+    """
+    N = ray_o.shape[0]
+    f32 = jnp.float32
+
+    state = dict(
+        bounce=jnp.asarray(0, jnp.int32),
+        active=jnp.ones(N, bool),
+        o=ray_o,
+        d=ray_d,
+        throughput=jnp.ones((N, 3), f32),
+        radiance=jnp.zeros((N, 3), f32),
+        last_pdf=jnp.ones(N, f32),
+        last_delta=jnp.zeros(N, bool),
+        rng=rng_state,
+        rays=jnp.asarray(0.0, f32),
+    )
+    keys = tuple(state.keys())
+
+    def cond(s):
+        st = dict(zip(keys, s))
+        return jnp.any(st["active"]) & (st["bounce"] < cfg.max_bounces + 2)
+
+    def body(s):
+        st = dict(zip(keys, s))
+        bounce = st["bounce"]
+        active = st["active"]
+        o, d = st["o"], st["d"]
+        throughput = st["throughput"]
+        radiance = st["radiance"]
+        last_pdf = st["last_pdf"]
+        last_delta = st["last_delta"]
+        rng = st["rng"]
+        rays = st["rays"] + jnp.sum(active)
+
+        hit = traverse.closest_hit(
+            scene.bvh, scene.tri_verts_sorted, o, d, INF_T, active_in=active
+        )
+        is_hit = active & hit.is_hit
+        miss = active & ~hit.is_hit
+
+        # ---- miss: environment radiance (integrator.hlsl:166-180)
+        env_plain = (
+            (cfg.env_samples_per_bounce == 0) | (bounce == 0) | last_delta
+        )
+        env_rad = envmap_incoming_radiance(scene.env, d)
+        radiance = radiance + jnp.where(
+            (miss & env_plain)[..., None], throughput * env_rad, 0.0
+        )
+        if cfg.env_samples_per_bounce > 0:
+            rad_e, pdf_e = eval_envmap(scene.env, d)
+            w = power_heuristic(1.0, last_pdf, cfg.env_samples_per_bounce, pdf_e)
+            radiance = radiance + jnp.where(
+                (miss & ~env_plain & (pdf_e > 0.0))[..., None],
+                throughput * rad_e * w[..., None],
+                0.0,
+            )
+        active = is_hit
+
+        # ---- decode surface (gathers are clamped; masked lanes are junk-safe)
+        tri = jnp.clip(hit.tri, 0, scene.num_tris - 1)
+        position, uv, tri_frame, vtx_frame, mat_id, tri_sampled = _decode_hit(
+            scene, tri, hit.u, hit.v
+        )
+        mat, emissive = _decode_material(scene, mat_id, uv)
+        tex_frame = _texture_frame(scene, mat_id, uv, vtx_frame)
+
+        w_o_ws = -d
+        # shading-normal selection chain (integrator.hlsl:93-104)
+        frontfacing = dot(tri_frame.n, w_o_ws, keepdims=False) > 0.0
+        sgn = jnp.where(frontfacing, 1.0, -1.0)
+        tex_ok = sgn * dot(w_o_ws, tex_frame.n, keepdims=False) > 0.0
+        vtx_ok = sgn * dot(w_o_ws, vtx_frame.n, keepdims=False) > 0.0
+        pick = lambda a, b, c: jnp.where(
+            tex_ok[..., None], a, jnp.where(vtx_ok[..., None], b, c)
+        )
+        frame = Frame(
+            n=pick(tex_frame.n, vtx_frame.n, tri_frame.n),
+            s=pick(tex_frame.s, vtx_frame.s, tri_frame.s),
+            t=pick(tex_frame.t, vtx_frame.t, tri_frame.t),
+        )
+        w_o_ss = frame.world_to_frame(w_o_ws)
+
+        # ---- emissive accumulation (integrator.hlsl:109-124)
+        emit_plain = (
+            (cfg.mesh_samples_per_bounce == 0)
+            | (bounce == 0)
+            | ~tri_sampled
+            | last_delta
+        )
+        emit_front = dot(w_o_ws, tri_frame.n, keepdims=False) > 0.0
+        radiance = radiance + jnp.where(
+            (active & emit_plain & emit_front)[..., None],
+            throughput * emissive,
+            0.0,
+        )
+        if cfg.mesh_samples_per_bounce > 0:
+            light_pdf = area_to_solid_angle(
+                position, o, d, tri_frame.n
+            ) / jnp.maximum(scene.emitters.weight_sum, 1e-20)
+            w = power_heuristic(
+                1.0, last_pdf, cfg.mesh_samples_per_bounce, light_pdf
+            )
+            radiance = radiance + jnp.where(
+                (active & ~emit_plain & (light_pdf > 0.0))[..., None],
+                throughput * emissive * w[..., None],
+                0.0,
+            )
+
+        # ---- termination (integrator.hlsl:126-135)
+        active = active & (bounce < cfg.max_bounces + 1)
+        rng, rr_rand = R.next_float(rng)
+        do_rr = bounce > 3
+        p_survive = jnp.minimum(0.95, luminance(throughput))
+        die = do_rr & (rr_rand > p_survive)
+        active = active & ~die
+        throughput = jnp.where(
+            (do_rr & active)[..., None],
+            throughput / jnp.maximum(p_survive, 1e-20)[..., None],
+            throughput,
+        )
+
+        is_delta = B.is_delta(mat.type)
+        nee_active = active & ~is_delta
+
+        # ---- NEE: environment map (integrator.hlsl:139-144)
+        for _ in range(cfg.env_samples_per_bounce):
+            rng, r2 = R.next_float2(rng)
+            l_dir, l_rad, l_pdf = sample_envmap(scene.env, r2)
+            shadow_o = offset_along_normal(
+                position, face_forward(tri_frame.n, l_dir)
+            )
+            lane = nee_active & (l_pdf > 0.0)
+            occluded = traverse.any_hit(
+                scene.bvh,
+                scene.tri_verts_sorted,
+                shadow_o,
+                l_dir,
+                INF_T,
+                active_in=lane,
+            )
+            rays = rays + jnp.sum(lane)
+            l_pdf = jnp.where(occluded, 0.0, l_pdf)
+            w_i_ss = frame.world_to_frame(l_dir)
+            scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
+            brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+            mis = power_heuristic(
+                cfg.env_samples_per_bounce, l_pdf, 1.0, scatter_pdf
+            )
+            contrib = (
+                l_rad
+                * brdf
+                * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
+                    ..., None
+                ]
+            )
+            ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
+            radiance = radiance + jnp.where(
+                ok[..., None],
+                throughput * contrib / cfg.env_samples_per_bounce,
+                0.0,
+            )
+
+        # ---- NEE: emissive meshes (integrator.hlsl:146-151, light.hlsl:130-158)
+        for _ in range(cfg.mesh_samples_per_bounce):
+            rng, r2 = R.next_float2(rng)
+            l_dir, l_pos, l_n, l_tri, l_bary, l_pdf = sample_mesh_lights(
+                scene, position, r2
+            )
+            l_rad = _emissive_at(scene, l_tri, l_bary)
+            # two-ended precise shadow segment (light.hlsl:149-154)
+            off_light = offset_along_normal(l_pos, l_n)
+            off_shade = offset_along_normal(
+                position, face_forward(tri_frame.n, l_dir)
+            )
+            seg = off_light - off_shade
+            seg_len = jnp.linalg.norm(seg, axis=-1)
+            seg_dir = seg / jnp.maximum(seg_len, 1e-20)[..., None]
+            lane = nee_active & (l_pdf > 0.0)
+            occluded = traverse.any_hit(
+                scene.bvh,
+                scene.tri_verts_sorted,
+                off_shade,
+                seg_dir,
+                seg_len,
+                active_in=lane,
+            )
+            rays = rays + jnp.sum(lane)
+            l_pdf = jnp.where(occluded, 0.0, l_pdf)
+            w_i_ss = frame.world_to_frame(l_dir)
+            scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
+            brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+            mis = power_heuristic(
+                cfg.mesh_samples_per_bounce, l_pdf, 1.0, scatter_pdf
+            )
+            contrib = (
+                l_rad
+                * brdf
+                * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
+                    ..., None
+                ]
+            )
+            ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
+            radiance = radiance + jnp.where(
+                ok[..., None],
+                throughput * contrib / cfg.mesh_samples_per_bounce,
+                0.0,
+            )
+
+        # ---- scatter (integrator.hlsl:153-163)
+        rng, r2 = R.next_float2(rng)
+        w_i_ss, pdf = B.sample_bsdf(mat, w_o_ss, r2)
+        active = active & (pdf > 0.0)
+        new_d = normalize(frame.frame_to_world(w_i_ss))
+        new_o = offset_along_normal(position, face_forward(tri_frame.n, new_d))
+        f = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+        thr_mul = f * (jnp.abs(cos_theta(w_i_ss)) / jnp.maximum(pdf, 1e-30))[..., None]
+        throughput = jnp.where(active[..., None], throughput * thr_mul, throughput)
+        o = jnp.where(active[..., None], new_o, o)
+        d = jnp.where(active[..., None], new_d, d)
+
+        st.update(
+            bounce=bounce + 1,
+            active=active,
+            o=o,
+            d=d,
+            throughput=throughput,
+            radiance=radiance,
+            last_pdf=pdf,
+            last_delta=is_delta,
+            rng=rng,
+            rays=rays,
+        )
+        return tuple(st[k] for k in keys)
+
+    final = jax.lax.while_loop(cond, body, tuple(state[k] for k in keys))
+    fs = dict(zip(keys, final))
+    return fs["radiance"], fs["rng"], fs["rays"]

@@ -1,0 +1,73 @@
+"""Render orchestration: pixels -> rays -> radiance -> sensor.
+
+The per-sample step is one jitted function (the analogue of the reference's
+recorded trace dispatch, offline/main.zig:131-165); progressive use calls it
+repeatedly with an increasing sample index, exactly like the reference's
+sample_count push constant.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as R
+from ..integrator.path import PathConfig, trace_paths
+from .camera import LensArrays, generate_rays, pixel_uv
+from .sensor import Sensor, accumulate
+
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg", "flip_image"))
+def render_sample(scene, lens: LensArrays, height: int, width: int,
+                  sample_index, cfg: PathConfig, flip_image: bool = True):
+    """Trace one sample for every pixel.
+
+    Returns (radiance [H, W, 3], rays_traced scalar). RNG streams are keyed
+    by (sample_index, x, y) (main.hlsl:85) so any chunking/sharding of this
+    dispatch produces identical images.
+    """
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.uint32),
+        jnp.arange(width, dtype=jnp.uint32),
+        indexing="ij",
+    )
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    rng = R.seed(jnp.asarray(sample_index, jnp.uint32), px, py)
+
+    rng, jitter = R.next_float2(rng)
+    uv = pixel_uv(px, py, width, height, jitter, flip_image)
+    rng, ap = R.next_float2(rng)
+    o, d = generate_rays(lens, width, height, uv, ap)
+
+    radiance, rng, rays = trace_paths(scene, o, d, rng, cfg)
+    return radiance.reshape(height, width, 3), rays
+
+
+def render(scene, lens, height, width, spp, cfg: PathConfig,
+           flip_image: bool = True, sensor: Sensor | None = None,
+           progress=None):
+    """Accumulate spp samples into a (possibly pre-existing) sensor.
+
+    Returns (sensor, total_rays). Equivalent of the offline frontend's
+    spp-iteration command buffer (offline/main.zig:131-165).
+    """
+    if isinstance(lens, LensArrays):
+        lens_arrays = lens
+    else:
+        lens_arrays = LensArrays.from_lens(lens)
+    if sensor is None:
+        sensor = Sensor.create(height, width)
+    total_rays = 0.0
+    for s in range(spp):
+        img, rays = render_sample(
+            scene, lens_arrays, height, width, sensor.sample_count, cfg,
+            flip_image,
+        )
+        sensor = accumulate(sensor, img, 1)
+        total_rays += float(rays)
+        if progress is not None:
+            progress(s + 1, spp)
+    return sensor, total_rays

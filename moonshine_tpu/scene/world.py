@@ -1,0 +1,357 @@
+"""World: host scene state -> flat device scene.
+
+The reference aggregates MeshManager + MaterialManager + Accel into World
+(engine/hrtsystem/World.zig:36-39) with GPU-side buffers addressed through
+instance/geometry indirection tables (world.hlsl:49-72). The TPU design
+flattens harder: every *instance* of every triangle becomes one record in
+world space, so a hit decodes with direct gathers instead of a 4-level
+pointer chase (instance -> geometry -> mesh -> vertex addresses). Instanced
+geometry trades memory for locality — the right trade on an HBM machine.
+
+Per-triangle corner attributes are precomputed at build:
+  * positions: object->world by the instance transform
+  * normals: inverse-transpose transform (missing normals fall back to the
+    geometric normal, world.hlsl:158-161)
+  * texcoords: the reference's default corner uvs (0,0),(1,0),(1,1) when
+    absent (world.hlsl:138-143)
+  * mirrored instances (negative determinant) swap corners 1/2 so the
+    geometric normal computed from world positions keeps the reference's
+    object-space orientation.
+
+Incremental edit surface (set_transform / set_visibility / update_material)
+mirrors the reference's live-edit paths (Accel.zig:567-679); edits mark the
+world dirty and `build`/`rebuild` re-flattens. A full rebuild on TPU is a
+refit when only transforms changed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..accel import lbvh
+from ..core import alias_table
+from ..lights.envmap import EnvMap, build_envmap, constant_envmap
+from .textures import AtlasBuilder, TextureAtlas
+from .types import (
+    Geometry,
+    Glass,
+    Instance,
+    Lambert,
+    MaterialInfo,
+    Mesh,
+    Mirror,
+    StandardPBR,
+)
+
+# material type codes (world.hlsl:31-36 enum order)
+TYPE_GLASS, TYPE_LAMBERT, TYPE_MIRROR, TYPE_PBR = 0, 1, 2, 3
+
+
+class MaterialTable(NamedTuple):
+    type: jnp.ndarray  # [M] i32
+    normal_tex: jnp.ndarray  # [M] i32
+    emissive_tex: jnp.ndarray  # [M] i32
+    color_tex: jnp.ndarray  # [M] i32  (PBR + Lambert)
+    metalness_tex: jnp.ndarray  # [M] i32 (PBR)
+    roughness_tex: jnp.ndarray  # [M] i32 (PBR)
+    ior: jnp.ndarray  # [M] f32 (PBR + Glass)
+
+
+class EmitterTable(NamedTuple):
+    """Alias table over world-space triangle areas of sampled geometries
+    (Accel.zig:491-539)."""
+
+    select: jnp.ndarray  # [E] f32
+    alias: jnp.ndarray  # [E] u32
+    tri: jnp.ndarray  # [E] i32 original triangle ids
+    count: jnp.ndarray  # scalar i32
+    weight_sum: jnp.ndarray  # scalar f32 (total emissive area)
+
+
+class DeviceScene(NamedTuple):
+    bvh: lbvh.BVH
+    tri_verts_sorted: jnp.ndarray  # [T,3,3] traversal order
+    inv_order: jnp.ndarray  # [T] i32: original tri id -> sorted slot
+    tri_normals: jnp.ndarray  # [T,3,3] world corner normals
+    tri_uvs: jnp.ndarray  # [T,3,2]
+    tri_material: jnp.ndarray  # [T] i32
+    tri_sampled: jnp.ndarray  # [T] bool
+    tri_instance: jnp.ndarray  # [T] i32
+    tri_geometry: jnp.ndarray  # [T] i32
+    tri_primitive: jnp.ndarray  # [T] i32
+    materials: MaterialTable
+    atlas: TextureAtlas
+    env: EnvMap
+    emitters: EmitterTable
+
+    @property
+    def num_tris(self) -> int:
+        return self.bvh.num_tris
+
+    def corner_positions(self, tri_ids):
+        """Gather [N,3,3] world corner positions for original tri ids."""
+        return self.tri_verts_sorted[self.inv_order[tri_ids]]
+
+
+class World:
+    """Mutable host scene; `build()` freezes it into a DeviceScene."""
+
+    MAX_TEXTURES = 1024  # parity cap (MaterialManager.zig:286)
+
+    def __init__(self):
+        self.meshes: list[Mesh] = []
+        self.materials: list[MaterialInfo] = []
+        self.instances: list[Instance] = []
+        self._env_equirect: Optional[np.ndarray] = None
+        self._env_size: Optional[int] = None
+
+    # --- creation API (parity: MeshManager/MaterialManager/Accel upload) ---
+
+    def add_mesh(self, mesh: Mesh) -> int:
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def add_material(self, info: MaterialInfo) -> int:
+        self.materials.append(info)
+        return len(self.materials) - 1
+
+    def add_instance(self, instance: Instance) -> int:
+        self.instances.append(instance)
+        return len(self.instances) - 1
+
+    def set_background(self, equirect_rgb: Optional[np.ndarray], size: Optional[int] = None):
+        """equirect [H,W,3] float32; None = default 1x1 white
+        (BackgroundManager.addDefaultBackground)."""
+        self._env_equirect = equirect_rgb
+        self._env_size = size
+
+    # --- live-edit surface (parity: Accel.zig:567-679, hydra.zig:435-513) ---
+
+    def set_transform(self, instance: int, transform: np.ndarray):
+        self.instances[instance].transform = np.asarray(transform, np.float32)
+
+    def set_visibility(self, instance: int, visible: bool):
+        self.instances[instance].visible = visible
+
+    def update_material(self, handle: int, info: MaterialInfo):
+        self.materials[handle] = info
+
+    # --- freeze ---
+
+    def build(self) -> DeviceScene:
+        atlas_builder = AtlasBuilder()
+        mat_table = _build_materials(self.materials, atlas_builder)
+
+        verts, normals, uvs, mat_ids, sampled, inst_ids, geo_ids, prim_ids = (
+            _flatten_instances(self.meshes, self.materials, self.instances)
+        )
+        T = len(verts)
+        if T == 0:
+            raise ValueError("scene has no visible triangles")
+
+        bvh = lbvh.build(verts)
+        order = np.asarray(bvh.tri_order)
+        inv_order = np.empty(T, np.int64)
+        inv_order[order] = np.arange(T)
+
+        emitters = _build_emitters(verts, sampled, mat_ids)
+
+        if self._env_equirect is None:
+            env = constant_envmap((1.0, 1.0, 1.0))
+        else:
+            env = build_envmap(self._env_equirect, self._env_size)
+
+        atlas = atlas_builder.build()
+        if len(atlas_builder.images) > self.MAX_TEXTURES:
+            raise ValueError(
+                f"too many textures: {len(atlas_builder.images)} > {self.MAX_TEXTURES}"
+            )
+
+        return DeviceScene(
+            bvh=bvh,
+            tri_verts_sorted=jnp.asarray(verts[order]),
+            inv_order=jnp.asarray(inv_order, jnp.int32),
+            tri_normals=jnp.asarray(normals),
+            tri_uvs=jnp.asarray(uvs),
+            tri_material=jnp.asarray(mat_ids, jnp.int32),
+            tri_sampled=jnp.asarray(sampled),
+            tri_instance=jnp.asarray(inst_ids, jnp.int32),
+            tri_geometry=jnp.asarray(geo_ids, jnp.int32),
+            tri_primitive=jnp.asarray(prim_ids, jnp.int32),
+            materials=mat_table,
+            atlas=atlas,
+            env=env,
+            emitters=emitters,
+        )
+
+
+def _tex_handle(builder: AtlasBuilder, source, channels: int) -> int:
+    src = np.asarray(source, np.float32)
+    if src.ndim <= 1:
+        v = src.reshape(-1)
+        if len(v) < channels:
+            v = np.concatenate([np.broadcast_to(v, (channels,))[: channels]])
+        return builder.upload_solid(v[:channels])
+    return builder.upload(src)
+
+
+def _build_materials(materials, builder: AtlasBuilder) -> MaterialTable:
+    n = max(len(materials), 1)
+    type_ = np.zeros(n, np.int32)
+    normal_tex = np.zeros(n, np.int32)
+    emissive_tex = np.zeros(n, np.int32)
+    color_tex = np.zeros(n, np.int32)
+    metal_tex = np.zeros(n, np.int32)
+    rough_tex = np.zeros(n, np.int32)
+    ior = np.full(n, 1.5, np.float32)
+
+    # shared defaults, 1x1 solids (renderParam.hpp default-texture parity)
+    default_normal = builder.upload_solid([0.5, 0.5, 1.0, 1.0])  # -> (0,0,1)
+    default_white = builder.upload_solid([1.0, 1.0, 1.0, 1.0])
+    default_black = builder.upload_solid([0.0, 0.0, 0.0, 1.0])
+
+    for i, m in enumerate(materials):
+        normal_tex[i] = (
+            default_normal if m.normal is None else _tex_handle(builder, m.normal, 2)
+        )
+        em = np.asarray(m.emissive, np.float32)
+        emissive_tex[i] = (
+            default_black
+            if em.ndim <= 1 and not em.any()
+            else _tex_handle(builder, m.emissive, 3)
+        )
+        v = m.variant
+        if isinstance(v, StandardPBR):
+            type_[i] = TYPE_PBR
+            color_tex[i] = _tex_handle(builder, v.color, 3)
+            metal_tex[i] = _tex_handle(builder, v.metalness, 1)
+            rough_tex[i] = _tex_handle(builder, v.roughness, 1)
+            ior[i] = v.ior
+        elif isinstance(v, Lambert):
+            type_[i] = TYPE_LAMBERT
+            color_tex[i] = _tex_handle(builder, v.color, 3)
+            metal_tex[i] = default_black
+            rough_tex[i] = default_white
+        elif isinstance(v, Glass):
+            type_[i] = TYPE_GLASS
+            ior[i] = v.ior
+            color_tex[i] = default_white
+            metal_tex[i] = default_black
+            rough_tex[i] = default_white
+        elif isinstance(v, Mirror):
+            type_[i] = TYPE_MIRROR
+            color_tex[i] = default_white
+            metal_tex[i] = default_black
+            rough_tex[i] = default_white
+        else:
+            raise TypeError(f"unknown material variant {v!r}")
+
+    return MaterialTable(
+        type=jnp.asarray(type_),
+        normal_tex=jnp.asarray(normal_tex),
+        emissive_tex=jnp.asarray(emissive_tex),
+        color_tex=jnp.asarray(color_tex),
+        metalness_tex=jnp.asarray(metal_tex),
+        roughness_tex=jnp.asarray(rough_tex),
+        ior=jnp.asarray(ior),
+    )
+
+
+def _flatten_instances(meshes, materials, instances):
+    verts, normals, uvs = [], [], []
+    mat_ids, sampled, inst_ids, geo_ids, prim_ids = [], [], [], [], []
+
+    for inst_id, inst in enumerate(instances):
+        if not inst.visible:
+            continue
+        M = np.asarray(inst.transform, np.float32)
+        lin = M[:, :3]
+        trans = M[:, 3]
+        det = float(np.linalg.det(lin))
+        # normal matrix: inverse-transpose of the linear part
+        nrm_m = np.linalg.inv(lin).T if abs(det) > 1e-20 else lin
+        mirrored = det < 0.0
+
+        for geo_id, geo in enumerate(inst.geometries):
+            mesh = meshes[geo.mesh]
+            idx = np.asarray(mesh.indices, np.int64).reshape(-1, 3)
+            F = len(idx)
+            pos = np.asarray(mesh.positions, np.float32)
+            p = pos[idx]  # [F,3,3] object space
+            pw = p @ lin.T + trans  # world
+
+            if mesh.indexed_attributes:
+                attr_idx = idx
+            else:
+                attr_idx = np.arange(F * 3, dtype=np.int64).reshape(F, 3)
+
+            if mesh.normals is not None:
+                nrm = np.asarray(mesh.normals, np.float32)[attr_idx]
+            else:
+                gn = np.cross(p[:, 0] - p[:, 2], p[:, 1] - p[:, 2])
+                gl = np.linalg.norm(gn, axis=-1, keepdims=True)
+                gn = gn / np.maximum(gl, 1e-20)
+                nrm = np.repeat(gn[:, None, :], 3, axis=1)
+            nw = nrm @ nrm_m.T
+            nw = nw / np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20)
+
+            if mesh.texcoords is not None:
+                uv = np.asarray(mesh.texcoords, np.float32)[attr_idx]
+            else:
+                uv = np.broadcast_to(
+                    np.asarray([[0, 0], [1, 0], [1, 1]], np.float32), (F, 3, 2)
+                ).copy()
+
+            if mirrored:
+                pw = pw[:, [0, 2, 1]]
+                nw = nw[:, [0, 2, 1]]
+                uv = uv[:, [0, 2, 1]]
+
+            verts.append(pw)
+            normals.append(nw)
+            uvs.append(uv)
+            mat_ids.append(np.full(F, geo.material, np.int32))
+            sampled.append(np.full(F, geo.sampled, bool))
+            inst_ids.append(np.full(F, inst_id, np.int32))
+            geo_ids.append(np.full(F, geo_id, np.int32))
+            prim_ids.append(np.arange(F, dtype=np.int32))
+
+    cat = lambda xs: np.concatenate(xs, axis=0) if xs else np.zeros((0,))
+    return (
+        cat(verts).astype(np.float32),
+        cat(normals).astype(np.float32),
+        cat(uvs).astype(np.float32),
+        cat(mat_ids),
+        cat(sampled),
+        cat(inst_ids),
+        cat(geo_ids),
+        cat(prim_ids),
+    )
+
+
+def _build_emitters(verts, sampled, mat_ids) -> EmitterTable:
+    emitter_tris = np.nonzero(sampled)[0]
+    if len(emitter_tris) == 0:
+        return EmitterTable(
+            select=jnp.ones(1, jnp.float32),
+            alias=jnp.zeros(1, jnp.uint32),
+            tri=jnp.zeros(1, jnp.int32),
+            count=jnp.asarray(0, jnp.int32),
+            weight_sum=jnp.asarray(0.0, jnp.float32),
+        )
+    tv = verts[emitter_tris]
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=-1
+    )
+    table = alias_table.build(areas)
+    return EmitterTable(
+        select=table.select,
+        alias=table.alias,
+        tri=jnp.asarray(emitter_tris, jnp.int32),
+        count=jnp.asarray(table.count, jnp.int32),
+        weight_sum=jnp.asarray(table.weight_sum, jnp.float32),
+    )
