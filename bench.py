@@ -1,0 +1,66 @@
+"""Benchmark: path-tracing throughput on the attached TPU chip.
+
+Renders the flagship procedural scene (Cornell-style box, mirror/glass/PBR
+spheres, emissive area light, textured floor — every material and NEE path
+live) and reports Mrays/sec/chip against the 50 Mrays/sec/chip north-star
+from BASELINE.md.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_scene
+    from moonshine_tpu.integrator.path import PathConfig
+    from moonshine_tpu.render.camera import LensArrays
+    from moonshine_tpu.render.renderer import render_sample
+
+    scene, lens = _flagship_scene()
+    lens_arrays = LensArrays.from_lens(lens)
+    H, W = 128, 128
+    cfg = PathConfig(
+        max_bounces=4, env_samples_per_bounce=1, mesh_samples_per_bounce=1
+    )
+
+    def step(sample_index):
+        return render_sample(
+            scene, lens_arrays, H, W, jnp.asarray(sample_index, jnp.uint32), cfg
+        )
+
+    # warmup + compile
+    img, rays = step(0)
+    img.block_until_ready()
+
+    n_samples = 4
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    acc = None
+    for s in range(1, n_samples + 1):
+        img, rays = step(s)
+        total_rays += float(rays)
+        acc = img if acc is None else acc + img
+    acc.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    mrays = total_rays / elapsed / 1e6
+    result = {
+        "metric": "Mrays/sec/chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 50.0, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

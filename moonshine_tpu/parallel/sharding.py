@@ -1,0 +1,102 @@
+"""Multi-chip rendering via jax.sharding.
+
+The distributed axis the reference never had (SURVEY.md §2.8): rendering is
+sample- and pixel-parallel, so we shard the dispatch over a 2D device mesh:
+
+  * "dp" — pixel-row tiles: each device traces its own block of rows
+    (zero communication; the image comes out row-sharded)
+  * "sp" — sample ranges: devices trace disjoint sample indices of the
+    same pixels and psum-average at the end (one small collective over ICI,
+    the running-mean commutes — main.hlsl:42-51)
+
+Because RNG streams are keyed by (global sample index, x, y), any
+(sp, dp) factorization produces the same image up to f32 summation order —
+chip-count-invariant reproducibility.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core import rng as R
+from ..integrator.path import PathConfig, trace_paths
+from ..render.camera import LensArrays, generate_rays, pixel_uv
+
+
+def make_mesh(devices=None, sp: int | None = None) -> Mesh:
+    """Factor the devices into a (sp, dp) mesh. Default: sp=2 when the
+    device count is even, else pure dp."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if sp is None:
+        sp = 2 if n % 2 == 0 and n > 1 else 1
+    dp = n // sp
+    import numpy as np
+
+    return Mesh(np.asarray(devices)[: sp * dp].reshape(sp, dp), ("sp", "dp"))
+
+
+def render_sharded(scene, lens: LensArrays, height: int, width: int,
+                   spp: int, cfg: PathConfig, mesh: Mesh,
+                   flip_image: bool = True, base_sample: int = 0):
+    """Render spp samples over the mesh; returns ([H, W, 3] mean image,
+    rays traced). height % dp == 0 and spp % sp == 0 required."""
+    sp = mesh.shape["sp"]
+    dp = mesh.shape["dp"]
+    if height % dp or spp % sp:
+        raise ValueError(
+            f"height ({height}) must divide by dp ({dp}) and "
+            f"spp ({spp}) by sp ({sp})"
+        )
+    rows = height // dp
+    local_spp = spp // sp
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(None, "dp", None, None), P()),
+        check_vma=False,
+    )
+    def step(scene, lens):
+        di = jax.lax.axis_index("dp")
+        si = jax.lax.axis_index("sp")
+        row0 = di * rows
+
+        ys, xs = jnp.meshgrid(
+            jnp.arange(rows, dtype=jnp.uint32),
+            jnp.arange(width, dtype=jnp.uint32),
+            indexing="ij",
+        )
+        px = xs.reshape(-1)
+        py = ys.reshape(-1) + row0.astype(jnp.uint32)
+
+        acc = jnp.zeros((rows, width, 3), jnp.float32)
+        rays_total = jnp.asarray(0.0, jnp.float32)
+        for s in range(local_spp):
+            sample_index = (
+                jnp.asarray(base_sample, jnp.uint32)
+                + si.astype(jnp.uint32) * local_spp
+                + s
+            )
+            rng = R.seed(sample_index, px, py)
+            rng, jitter = R.next_float2(rng)
+            uv = pixel_uv(px, py, width, height, jitter, flip_image)
+            rng, ap = R.next_float2(rng)
+            o, d = generate_rays(lens, width, height, uv, ap)
+            radiance, rng, rays = trace_paths(scene, o, d, rng, cfg)
+            acc = acc + radiance.reshape(rows, width, 3)
+            rays_total = rays_total + rays
+
+        acc = jax.lax.psum(acc, "sp") / spp
+        rays_total = jax.lax.psum(rays_total, ("sp", "dp"))
+        # leading singleton is the "sp" shard axis (replicated post-psum)
+        return acc[None], rays_total
+
+    image, rays = step(scene, lens)
+    return image[0], rays
