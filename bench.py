@@ -26,7 +26,7 @@ def main():
 
     scene, lens = _flagship_scene()
     lens_arrays = LensArrays.from_lens(lens)
-    H, W = 128, 128
+    H, W = 512, 512
     cfg = PathConfig(
         max_bounces=4, env_samples_per_bounce=1, mesh_samples_per_bounce=1
     )
@@ -40,7 +40,7 @@ def main():
     img, rays = step(0)
     img.block_until_ready()
 
-    n_samples = 4
+    n_samples = 3
     t0 = time.perf_counter()
     total_rays = 0.0
     acc = None

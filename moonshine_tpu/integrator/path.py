@@ -25,7 +25,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..accel import traverse
+from ..accel import packet, traverse
 from ..bsdf import materials as B
 from ..core import rng as R
 from ..core.frame import Frame, cos_theta
@@ -40,7 +40,7 @@ from ..core.mathutil import (
 )
 from ..lights.envmap import (
     envmap_incoming_radiance,
-    eval_envmap,
+    miss_radiance_and_pdf,
     sample_envmap,
 )
 from ..lights.mesh_lights import area_to_solid_angle, sample_mesh_lights
@@ -56,6 +56,8 @@ class PathConfig:
     max_bounces: int = 4
     env_samples_per_bounce: int = 1
     mesh_samples_per_bounce: int = 1
+    # None = auto: unroll the bounce loop when max_bounces + 2 <= 10
+    unroll: bool | None = None
 
 
 def power_heuristic(numf, f_pdf, numg, g_pdf):
@@ -101,13 +103,18 @@ def _tangent_bitangent(p0, p1, p2, t0, t1, t2):
 
 def _decode_hit(scene, tri, bary_u, bary_v):
     """Gather and interpolate surface attributes at a hit
-    (world.hlsl:107-177 MeshAttributes).
+    (world.hlsl:107-177 MeshAttributes). One packed-row gather per lane.
 
-    Returns (position, uv, tri_frame, vtx_frame, mat_id, sampled).
+    Returns (position, uv, tri_frame, vtx_frame, mat_row, sampled) where
+    mat_row is the packed material record.
     """
-    corners = scene.corner_positions(tri)
-    uvs = scene.tri_uvs[tri]
-    nrms = scene.tri_normals[tri]
+    row = scene.tri_shade[tri]  # [N, 32]
+    n = tri.shape[0]
+    corners = row[:, 0:9].reshape(n, 3, 3)
+    nrms = row[:, 9:18].reshape(n, 3, 3)
+    uvs = row[:, 18:24].reshape(n, 3, 2)
+    mat_id = row[:, 24].astype(jnp.int32)
+    sampled = row[:, 25] > 0.5
 
     position = _interp(bary_u, bary_v, corners)
     uv = _interp(bary_u, bary_v, uvs)
@@ -121,33 +128,32 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     vtx_n = safe_normalize(_interp(bary_u, bary_v, nrms))
     vtx_frame = Frame(n=vtx_n, s=tri_frame.s, t=tri_frame.t).reorthogonalize()
 
-    mat_id = scene.tri_material[tri]
-    sampled = scene.tri_sampled[tri]
-    return position, uv, tri_frame, vtx_frame, mat_id, sampled
+    mat_row = scene.materials.packed[mat_id]  # [N, 8]
+    return position, uv, tri_frame, vtx_frame, mat_row, sampled
 
 
-def _decode_material(scene, mat_id, uv):
+def _decode_material(scene, mat_row, uv):
     """Texture lookups -> per-lane material parameters
     (material.hlsl loads :146-199 + getEmissive :519-522)."""
-    m = scene.materials
-    color = sample_texture(scene.atlas, m.color_tex[mat_id], uv)[..., :3]
-    metalness = sample_texture(scene.atlas, m.metalness_tex[mat_id], uv)[..., 0]
-    roughness = sample_texture(scene.atlas, m.roughness_tex[mat_id], uv)[..., 0]
-    emissive = sample_texture(scene.atlas, m.emissive_tex[mat_id], uv)[..., :3]
+    tex = lambda col: mat_row[:, col].astype(jnp.int32)
+    color = sample_texture(scene.atlas, tex(3), uv)[..., :3]
+    metalness = sample_texture(scene.atlas, tex(4), uv)[..., 0]
+    roughness = sample_texture(scene.atlas, tex(5), uv)[..., 0]
+    emissive = sample_texture(scene.atlas, tex(2), uv)[..., :3]
     lanes = B.MaterialLanes(
-        type=m.type[mat_id],
+        type=mat_row[:, 0].astype(jnp.int32),
         color=color,
         metalness=metalness,
         alpha=jnp.maximum(roughness * roughness, 1e-3),
-        ior=m.ior[mat_id],
+        ior=mat_row[:, 6],
     )
     return lanes, emissive
 
 
-def _texture_frame(scene, mat_id, uv, vtx_frame):
+def _texture_frame(scene, mat_row, uv, vtx_frame):
     """Normal-mapped shading frame (material.hlsl:489-517); two-component
     normal decode is the reference default."""
-    rg = sample_texture(scene.atlas, scene.materials.normal_tex[mat_id], uv)[..., :2]
+    rg = sample_texture(scene.atlas, mat_row[:, 1].astype(jnp.int32), uv)[..., :2]
     rg = rg * 2.0 - 1.0
     z = jnp.sqrt(jnp.clip(1.0 - jnp.sum(rg * rg, axis=-1), 0.0, 1.0))
     n_ts = jnp.concatenate([rg, z[..., None]], axis=-1)
@@ -157,10 +163,229 @@ def _texture_frame(scene, mat_id, uv, vtx_frame):
 
 def _emissive_at(scene, tri, bary):
     """Emitted radiance of a light sample point (NEE gather)."""
-    uvs = scene.tri_uvs[tri]
+    row = scene.tri_shade[tri]
+    n = tri.shape[0]
+    uvs = row[:, 18:24].reshape(n, 3, 2)
     uv = _interp(bary[..., 0], bary[..., 1], uvs)
-    mat_id = scene.tri_material[tri]
-    return sample_texture(scene.atlas, scene.materials.emissive_tex[mat_id], uv)[..., :3]
+    mat_id = row[:, 24].astype(jnp.int32)
+    emissive_tex = scene.materials.packed[mat_id][:, 2].astype(jnp.int32)
+    return sample_texture(scene.atlas, emissive_tex, uv)[..., :3]
+
+
+def _closest(scene, o, d, t_max, active):
+    """Traversal dispatch: Pallas packet kernel when the scene carries a
+    wide BVH, lockstep jnp while_loop otherwise."""
+    if getattr(scene, "wide", None) is not None:
+        return packet.closest_hit_packet(scene.wide, o, d, t_max, active_in=active)
+    return traverse.closest_hit(
+        scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
+    )
+
+
+def _any_hit(scene, o, d, t_max, active):
+    if getattr(scene, "wide", None) is not None:
+        return packet.any_hit_packet(scene.wide, o, d, t_max, active_in=active)
+    return traverse.any_hit(
+        scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
+    )
+
+
+def _bounce_body(scene, cfg: PathConfig, bounce, st):
+    """One path-tracing bounce over the whole lane batch.
+
+    `bounce` may be a traced scalar (while_loop mode) or a Python int
+    (unrolled mode — XLA then pipelines gathers across segments). State is a
+    dict; RNG consumption is identical in both modes so images match.
+    """
+    lor = jnp.logical_or
+    land = jnp.logical_and
+
+    active = st["active"]
+    o, d = st["o"], st["d"]
+    throughput = st["throughput"]
+    radiance = st["radiance"]
+    last_pdf = st["last_pdf"]
+    last_delta = st["last_delta"]
+    rng = st["rng"]
+    rays = st["rays"] + jnp.sum(active)
+
+    hit = _closest(scene, o, d, INF_T, active)
+    is_hit = active & hit.is_hit
+    miss = active & ~hit.is_hit
+
+    # ---- miss: environment radiance (integrator.hlsl:166-180)
+    env_plain = lor(cfg.env_samples_per_bounce == 0,
+                    lor(bounce == 0, last_delta))
+    if cfg.env_samples_per_bounce > 0:
+        env_rad, rad_e, pdf_e = miss_radiance_and_pdf(scene.env, d)
+        w = power_heuristic(1.0, last_pdf, cfg.env_samples_per_bounce, pdf_e)
+        radiance = radiance + jnp.where(
+            (miss & ~env_plain & (pdf_e > 0.0))[..., None],
+            throughput * rad_e * w[..., None],
+            0.0,
+        )
+    else:
+        env_rad = envmap_incoming_radiance(scene.env, d)
+    radiance = radiance + jnp.where(
+        (miss & env_plain)[..., None], throughput * env_rad, 0.0
+    )
+    active = is_hit
+
+    # ---- decode surface (gathers are clamped; masked lanes are junk-safe)
+    tri = jnp.clip(hit.tri, 0, scene.num_tris - 1)
+    position, uv, tri_frame, vtx_frame, mat_row, tri_sampled = _decode_hit(
+        scene, tri, hit.u, hit.v
+    )
+    mat, emissive = _decode_material(scene, mat_row, uv)
+    tex_frame = _texture_frame(scene, mat_row, uv, vtx_frame)
+
+    w_o_ws = -d
+    # shading-normal selection chain (integrator.hlsl:93-104)
+    frontfacing = dot(tri_frame.n, w_o_ws, keepdims=False) > 0.0
+    sgn = jnp.where(frontfacing, 1.0, -1.0)
+    tex_ok = sgn * dot(w_o_ws, tex_frame.n, keepdims=False) > 0.0
+    vtx_ok = sgn * dot(w_o_ws, vtx_frame.n, keepdims=False) > 0.0
+    pick = lambda a, b, c: jnp.where(
+        tex_ok[..., None], a, jnp.where(vtx_ok[..., None], b, c)
+    )
+    frame = Frame(
+        n=pick(tex_frame.n, vtx_frame.n, tri_frame.n),
+        s=pick(tex_frame.s, vtx_frame.s, tri_frame.s),
+        t=pick(tex_frame.t, vtx_frame.t, tri_frame.t),
+    )
+    w_o_ss = frame.world_to_frame(w_o_ws)
+
+    # ---- emissive accumulation (integrator.hlsl:109-124)
+    emit_plain = lor(cfg.mesh_samples_per_bounce == 0,
+                     lor(bounce == 0, lor(~tri_sampled, last_delta)))
+    emit_front = dot(w_o_ws, tri_frame.n, keepdims=False) > 0.0
+    radiance = radiance + jnp.where(
+        (active & emit_plain & emit_front)[..., None],
+        throughput * emissive,
+        0.0,
+    )
+    if cfg.mesh_samples_per_bounce > 0:
+        light_pdf = area_to_solid_angle(
+            position, o, d, tri_frame.n
+        ) / jnp.maximum(scene.emitters.weight_sum, 1e-20)
+        w = power_heuristic(
+            1.0, last_pdf, cfg.mesh_samples_per_bounce, light_pdf
+        )
+        radiance = radiance + jnp.where(
+            (active & ~emit_plain & (light_pdf > 0.0))[..., None],
+            throughput * emissive * w[..., None],
+            0.0,
+        )
+
+    # ---- termination (integrator.hlsl:126-135)
+    active = land(active, bounce < cfg.max_bounces + 1)
+    rng, rr_rand = R.next_float(rng)
+    do_rr = jnp.asarray(bounce > 3)
+    p_survive = jnp.minimum(0.95, luminance(throughput))
+    die = do_rr & (rr_rand > p_survive)
+    active = active & ~die
+    throughput = jnp.where(
+        (do_rr & active)[..., None],
+        throughput / jnp.maximum(p_survive, 1e-20)[..., None],
+        throughput,
+    )
+
+    is_delta = B.is_delta(mat.type)
+    nee_active = active & ~is_delta
+
+    # ---- NEE: environment map (integrator.hlsl:139-144)
+    for _ in range(cfg.env_samples_per_bounce):
+        rng, r2 = R.next_float2(rng)
+        l_dir, l_rad, l_pdf = sample_envmap(scene.env, r2)
+        shadow_o = offset_along_normal(
+            position, face_forward(tri_frame.n, l_dir)
+        )
+        lane = nee_active & (l_pdf > 0.0)
+        occluded = _any_hit(scene, shadow_o, l_dir, INF_T, lane)
+        rays = rays + jnp.sum(lane)
+        l_pdf = jnp.where(occluded, 0.0, l_pdf)
+        w_i_ss = frame.world_to_frame(l_dir)
+        scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
+        brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+        mis = power_heuristic(
+            cfg.env_samples_per_bounce, l_pdf, 1.0, scatter_pdf
+        )
+        contrib = (
+            l_rad
+            * brdf
+            * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
+                ..., None
+            ]
+        )
+        ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
+        radiance = radiance + jnp.where(
+            ok[..., None],
+            throughput * contrib / cfg.env_samples_per_bounce,
+            0.0,
+        )
+
+    # ---- NEE: emissive meshes (integrator.hlsl:146-151, light.hlsl:130-158)
+    for _ in range(cfg.mesh_samples_per_bounce):
+        rng, r2 = R.next_float2(rng)
+        l_dir, l_pos, l_n, l_tri, l_bary, l_pdf = sample_mesh_lights(
+            scene, position, r2
+        )
+        l_rad = _emissive_at(scene, l_tri, l_bary)
+        # two-ended precise shadow segment (light.hlsl:149-154)
+        off_light = offset_along_normal(l_pos, l_n)
+        off_shade = offset_along_normal(
+            position, face_forward(tri_frame.n, l_dir)
+        )
+        seg = off_light - off_shade
+        seg_len = jnp.linalg.norm(seg, axis=-1)
+        seg_dir = seg / jnp.maximum(seg_len, 1e-20)[..., None]
+        lane = nee_active & (l_pdf > 0.0)
+        occluded = _any_hit(scene, off_shade, seg_dir, seg_len, lane)
+        rays = rays + jnp.sum(lane)
+        l_pdf = jnp.where(occluded, 0.0, l_pdf)
+        w_i_ss = frame.world_to_frame(l_dir)
+        scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
+        brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+        mis = power_heuristic(
+            cfg.mesh_samples_per_bounce, l_pdf, 1.0, scatter_pdf
+        )
+        contrib = (
+            l_rad
+            * brdf
+            * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
+                ..., None
+            ]
+        )
+        ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
+        radiance = radiance + jnp.where(
+            ok[..., None],
+            throughput * contrib / cfg.mesh_samples_per_bounce,
+            0.0,
+        )
+
+    # ---- scatter (integrator.hlsl:153-163)
+    rng, r2 = R.next_float2(rng)
+    w_i_ss, pdf = B.sample_bsdf(mat, w_o_ss, r2)
+    active = active & (pdf > 0.0)
+    new_d = normalize(frame.frame_to_world(w_i_ss))
+    new_o = offset_along_normal(position, face_forward(tri_frame.n, new_d))
+    f = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+    thr_mul = f * (jnp.abs(cos_theta(w_i_ss)) / jnp.maximum(pdf, 1e-30))[..., None]
+    throughput = jnp.where(active[..., None], throughput * thr_mul, throughput)
+    o = jnp.where(active[..., None], new_o, o)
+    d = jnp.where(active[..., None], new_d, d)
+
+    return dict(
+        active=active,
+        o=o,
+        d=d,
+        throughput=throughput,
+        radiance=radiance,
+        last_pdf=pdf,
+        last_delta=is_delta,
+        rng=rng,
+        rays=rays,
+    )
 
 
 def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
@@ -169,12 +394,16 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
     Returns (radiance [N,3], rng_state, rays_traced scalar f32).
     rays_traced counts closest-hit + shadow rays actually issued (active
     lanes), the Mrays/sec numerator.
+
+    Two compilation modes: for small max_bounces the bounce loop unrolls
+    into a straight-line graph (XLA pipelines the gathers); deep bounce
+    budgets (the reference's offline 1024) use a while_loop that exits as
+    soon as every lane terminates.
     """
     N = ray_o.shape[0]
     f32 = jnp.float32
 
-    state = dict(
-        bounce=jnp.asarray(0, jnp.int32),
+    st = dict(
         active=jnp.ones(N, bool),
         o=ray_o,
         d=ray_d,
@@ -185,224 +414,29 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
         rng=rng_state,
         rays=jnp.asarray(0.0, f32),
     )
-    keys = tuple(state.keys())
 
-    def cond(s):
-        st = dict(zip(keys, s))
-        return jnp.any(st["active"]) & (st["bounce"] < cfg.max_bounces + 2)
+    n_segments = cfg.max_bounces + 2
+    unroll = cfg.unroll if cfg.unroll is not None else n_segments <= 10
 
-    def body(s):
-        st = dict(zip(keys, s))
-        bounce = st["bounce"]
-        active = st["active"]
-        o, d = st["o"], st["d"]
-        throughput = st["throughput"]
-        radiance = st["radiance"]
-        last_pdf = st["last_pdf"]
-        last_delta = st["last_delta"]
-        rng = st["rng"]
-        rays = st["rays"] + jnp.sum(active)
+    if unroll:
+        for bounce in range(n_segments):
+            st = _bounce_body(scene, cfg, bounce, st)
+        return st["radiance"], st["rng"], st["rays"]
 
-        hit = traverse.closest_hit(
-            scene.bvh, scene.tri_verts_sorted, o, d, INF_T, active_in=active
-        )
-        is_hit = active & hit.is_hit
-        miss = active & ~hit.is_hit
+    keys = tuple(st.keys())
 
-        # ---- miss: environment radiance (integrator.hlsl:166-180)
-        env_plain = (
-            (cfg.env_samples_per_bounce == 0) | (bounce == 0) | last_delta
-        )
-        env_rad = envmap_incoming_radiance(scene.env, d)
-        radiance = radiance + jnp.where(
-            (miss & env_plain)[..., None], throughput * env_rad, 0.0
-        )
-        if cfg.env_samples_per_bounce > 0:
-            rad_e, pdf_e = eval_envmap(scene.env, d)
-            w = power_heuristic(1.0, last_pdf, cfg.env_samples_per_bounce, pdf_e)
-            radiance = radiance + jnp.where(
-                (miss & ~env_plain & (pdf_e > 0.0))[..., None],
-                throughput * rad_e * w[..., None],
-                0.0,
-            )
-        active = is_hit
+    def cond(carry):
+        bounce, s = carry[0], dict(zip(keys, carry[1:]))
+        return jnp.any(s["active"]) & (bounce < n_segments)
 
-        # ---- decode surface (gathers are clamped; masked lanes are junk-safe)
-        tri = jnp.clip(hit.tri, 0, scene.num_tris - 1)
-        position, uv, tri_frame, vtx_frame, mat_id, tri_sampled = _decode_hit(
-            scene, tri, hit.u, hit.v
-        )
-        mat, emissive = _decode_material(scene, mat_id, uv)
-        tex_frame = _texture_frame(scene, mat_id, uv, vtx_frame)
+    def body(carry):
+        bounce = carry[0]
+        s = dict(zip(keys, carry[1:]))
+        s = _bounce_body(scene, cfg, bounce, s)
+        return (bounce + 1,) + tuple(s[k] for k in keys)
 
-        w_o_ws = -d
-        # shading-normal selection chain (integrator.hlsl:93-104)
-        frontfacing = dot(tri_frame.n, w_o_ws, keepdims=False) > 0.0
-        sgn = jnp.where(frontfacing, 1.0, -1.0)
-        tex_ok = sgn * dot(w_o_ws, tex_frame.n, keepdims=False) > 0.0
-        vtx_ok = sgn * dot(w_o_ws, vtx_frame.n, keepdims=False) > 0.0
-        pick = lambda a, b, c: jnp.where(
-            tex_ok[..., None], a, jnp.where(vtx_ok[..., None], b, c)
-        )
-        frame = Frame(
-            n=pick(tex_frame.n, vtx_frame.n, tri_frame.n),
-            s=pick(tex_frame.s, vtx_frame.s, tri_frame.s),
-            t=pick(tex_frame.t, vtx_frame.t, tri_frame.t),
-        )
-        w_o_ss = frame.world_to_frame(w_o_ws)
-
-        # ---- emissive accumulation (integrator.hlsl:109-124)
-        emit_plain = (
-            (cfg.mesh_samples_per_bounce == 0)
-            | (bounce == 0)
-            | ~tri_sampled
-            | last_delta
-        )
-        emit_front = dot(w_o_ws, tri_frame.n, keepdims=False) > 0.0
-        radiance = radiance + jnp.where(
-            (active & emit_plain & emit_front)[..., None],
-            throughput * emissive,
-            0.0,
-        )
-        if cfg.mesh_samples_per_bounce > 0:
-            light_pdf = area_to_solid_angle(
-                position, o, d, tri_frame.n
-            ) / jnp.maximum(scene.emitters.weight_sum, 1e-20)
-            w = power_heuristic(
-                1.0, last_pdf, cfg.mesh_samples_per_bounce, light_pdf
-            )
-            radiance = radiance + jnp.where(
-                (active & ~emit_plain & (light_pdf > 0.0))[..., None],
-                throughput * emissive * w[..., None],
-                0.0,
-            )
-
-        # ---- termination (integrator.hlsl:126-135)
-        active = active & (bounce < cfg.max_bounces + 1)
-        rng, rr_rand = R.next_float(rng)
-        do_rr = bounce > 3
-        p_survive = jnp.minimum(0.95, luminance(throughput))
-        die = do_rr & (rr_rand > p_survive)
-        active = active & ~die
-        throughput = jnp.where(
-            (do_rr & active)[..., None],
-            throughput / jnp.maximum(p_survive, 1e-20)[..., None],
-            throughput,
-        )
-
-        is_delta = B.is_delta(mat.type)
-        nee_active = active & ~is_delta
-
-        # ---- NEE: environment map (integrator.hlsl:139-144)
-        for _ in range(cfg.env_samples_per_bounce):
-            rng, r2 = R.next_float2(rng)
-            l_dir, l_rad, l_pdf = sample_envmap(scene.env, r2)
-            shadow_o = offset_along_normal(
-                position, face_forward(tri_frame.n, l_dir)
-            )
-            lane = nee_active & (l_pdf > 0.0)
-            occluded = traverse.any_hit(
-                scene.bvh,
-                scene.tri_verts_sorted,
-                shadow_o,
-                l_dir,
-                INF_T,
-                active_in=lane,
-            )
-            rays = rays + jnp.sum(lane)
-            l_pdf = jnp.where(occluded, 0.0, l_pdf)
-            w_i_ss = frame.world_to_frame(l_dir)
-            scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
-            brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
-            mis = power_heuristic(
-                cfg.env_samples_per_bounce, l_pdf, 1.0, scatter_pdf
-            )
-            contrib = (
-                l_rad
-                * brdf
-                * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
-                    ..., None
-                ]
-            )
-            ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
-            radiance = radiance + jnp.where(
-                ok[..., None],
-                throughput * contrib / cfg.env_samples_per_bounce,
-                0.0,
-            )
-
-        # ---- NEE: emissive meshes (integrator.hlsl:146-151, light.hlsl:130-158)
-        for _ in range(cfg.mesh_samples_per_bounce):
-            rng, r2 = R.next_float2(rng)
-            l_dir, l_pos, l_n, l_tri, l_bary, l_pdf = sample_mesh_lights(
-                scene, position, r2
-            )
-            l_rad = _emissive_at(scene, l_tri, l_bary)
-            # two-ended precise shadow segment (light.hlsl:149-154)
-            off_light = offset_along_normal(l_pos, l_n)
-            off_shade = offset_along_normal(
-                position, face_forward(tri_frame.n, l_dir)
-            )
-            seg = off_light - off_shade
-            seg_len = jnp.linalg.norm(seg, axis=-1)
-            seg_dir = seg / jnp.maximum(seg_len, 1e-20)[..., None]
-            lane = nee_active & (l_pdf > 0.0)
-            occluded = traverse.any_hit(
-                scene.bvh,
-                scene.tri_verts_sorted,
-                off_shade,
-                seg_dir,
-                seg_len,
-                active_in=lane,
-            )
-            rays = rays + jnp.sum(lane)
-            l_pdf = jnp.where(occluded, 0.0, l_pdf)
-            w_i_ss = frame.world_to_frame(l_dir)
-            scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
-            brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
-            mis = power_heuristic(
-                cfg.mesh_samples_per_bounce, l_pdf, 1.0, scatter_pdf
-            )
-            contrib = (
-                l_rad
-                * brdf
-                * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
-                    ..., None
-                ]
-            )
-            ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
-            radiance = radiance + jnp.where(
-                ok[..., None],
-                throughput * contrib / cfg.mesh_samples_per_bounce,
-                0.0,
-            )
-
-        # ---- scatter (integrator.hlsl:153-163)
-        rng, r2 = R.next_float2(rng)
-        w_i_ss, pdf = B.sample_bsdf(mat, w_o_ss, r2)
-        active = active & (pdf > 0.0)
-        new_d = normalize(frame.frame_to_world(w_i_ss))
-        new_o = offset_along_normal(position, face_forward(tri_frame.n, new_d))
-        f = B.eval_bsdf(mat, w_i_ss, w_o_ss)
-        thr_mul = f * (jnp.abs(cos_theta(w_i_ss)) / jnp.maximum(pdf, 1e-30))[..., None]
-        throughput = jnp.where(active[..., None], throughput * thr_mul, throughput)
-        o = jnp.where(active[..., None], new_o, o)
-        d = jnp.where(active[..., None], new_d, d)
-
-        st.update(
-            bounce=bounce + 1,
-            active=active,
-            o=o,
-            d=d,
-            throughput=throughput,
-            radiance=radiance,
-            last_pdf=pdf,
-            last_delta=is_delta,
-            rng=rng,
-            rays=rays,
-        )
-        return tuple(st[k] for k in keys)
-
-    final = jax.lax.while_loop(cond, body, tuple(state[k] for k in keys))
-    fs = dict(zip(keys, final))
+    final = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32),) + tuple(st[k] for k in keys)
+    )
+    fs = dict(zip(keys, final[1:]))
     return fs["radiance"], fs["rng"], fs["rays"]

@@ -4,16 +4,18 @@ Parity targets:
   * preprocessing — shaders/background/*.hlsl via BackgroundManager.zig:
     equirect -> equal-area square resample with 3x3 supersampling
     (equirectangular_to_equal_area.hlsl:16-29), Rec.709 luminance
-    (luminance.hlsl), and a *sum* (not average) 2x2 mip pyramid
-    (fold.hlsl) that acts as the hierarchical sampling distribution.
-  * sampling/eval — EnvMap in shaders/hrtsystem/light.hlsl:34-103:
-    binary descent over the luminance mips picks a texel proportional to
-    luminance; pdf is (texel luminance * S^2 / integral) / 4pi, uniform
-    over the texel's equal-area footprint.
+    (luminance.hlsl), and the luminance integral that normalizes the
+    sampling pdf (fold.hlsl's sum pyramid computes the same integral).
+  * sampling/eval — EnvMap in shaders/hrtsystem/light.hlsl:34-103: a texel
+    is drawn proportional to luminance; pdf is
+    (texel luminance * S^2 / integral) / 4pi, uniform over the texel's
+    equal-area footprint.
 
-On TPU the three preprocessing compute dispatches collapse into plain
-jnp reshapes/sums; the per-bounce hierarchical descent is a short static
-loop of gathers (log2(S) steps) over the whole ray batch.
+The reference samples by walking its sum-mip pyramid on the GPU because
+building a distribution there is awkward. We build host-side anyway, so the
+same texel distribution comes from one O(1) alias-table draw — identical
+pdf, 2 gathers instead of 4*log2(S). Radiance and luminance are packed in
+one [S*S, 4] row so the post-draw fetch is a single gather.
 """
 
 from __future__ import annotations
@@ -23,29 +25,50 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+from ..core import alias_table
 from ..core.mappings import (
     cartesian_to_spherical,
-    coin_flip_remap,
     square_to_equal_area_sphere,
     square_to_equal_area_sphere_inverse,
 )
-from ..core.mathutil import PI, luminance
+from ..core.mathutil import PI
 
 
 class EnvMap(NamedTuple):
-    rgb: jnp.ndarray  # [S, S, 3] equal-area square radiance
-    # luminance pyramid, finest (S x S) first, 1x1 last; SUM folds
-    lum_mips: tuple
+    rgbl: jnp.ndarray  # [S*S, 4] flat equal-area square: radiance + luminance
+    integral: jnp.ndarray  # scalar: sum of texel luminances
+    select: jnp.ndarray  # [S*S] alias-table keep probability
+    alias: jnp.ndarray  # [S*S] alias-table fallback texel
+
+    @property
+    def size(self) -> int:
+        """Equal-area square resolution, static from the array shape."""
+        return int(round(self.rgbl.shape[0] ** 0.5))
+
+    @property
+    def rgb_image(self):
+        s = self.size
+        return self.rgbl[:, :3].reshape(s, s, 3)
+
+
+def _finish(rgb: np.ndarray) -> EnvMap:
+    s = rgb.shape[0]
+    lum = (
+        0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    ).astype(np.float32)
+    table = alias_table.build(lum.reshape(-1))
+    rgbl = np.concatenate([rgb, lum[..., None]], axis=-1).reshape(-1, 4)
+    return EnvMap(
+        rgbl=jnp.asarray(rgbl, jnp.float32),
+        integral=jnp.asarray(table.weight_sum, jnp.float32),
+        select=table.select,
+        alias=table.alias,
+    )
 
 
 def constant_envmap(rgb=(1.0, 1.0, 1.0)) -> EnvMap:
-    """1x1 white-ish default background (BackgroundManager.zig:116-126)."""
-    rgb = np.asarray(rgb, np.float32).reshape(1, 1, 3)
-    lum = np.asarray(
-        0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2],
-        np.float32,
-    )
-    return EnvMap(rgb=jnp.asarray(rgb), lum_mips=(jnp.asarray(lum),))
+    """1x1 default background (BackgroundManager.zig:116-126)."""
+    return _finish(np.asarray(rgb, np.float32).reshape(1, 1, 3))
 
 
 def build_envmap(equirect: np.ndarray, size: int | None = None) -> EnvMap:
@@ -76,21 +99,7 @@ def build_envmap(equirect: np.ndarray, size: int | None = None) -> EnvMap:
             src_u = sph[..., 0] / (2 * PI)
             src_v = sph[..., 1] / PI
             acc += _bilinear_wrap_x(equirect, src_u, src_v)
-    rgb = acc / (spd * spd)
-
-    lum = (
-        0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
-    ).astype(np.float32)
-    mips = [lum]
-    while mips[-1].shape[0] > 1:
-        m = mips[-1]
-        n = m.shape[0] // 2
-        mips.append(
-            m.reshape(n, 2, n, 2).sum(axis=(1, 3))  # 2x2 SUM fold (fold.hlsl)
-        )
-    return EnvMap(
-        rgb=jnp.asarray(rgb), lum_mips=tuple(jnp.asarray(m) for m in mips)
-    )
+    return _finish(acc / (spd * spd))
 
 
 def _next_pow2(x: int) -> int:
@@ -116,66 +125,49 @@ def _bilinear_wrap_x(img: np.ndarray, u, v):
 
 
 def sample_envmap(env: EnvMap, rand2: jnp.ndarray):
-    """Hierarchical luminance descent (light.hlsl:47-74).
+    """Luminance-proportional texel draw (distribution parity with the
+    hierarchical descent of light.hlsl:47-74).
 
     rand2: [N, 2] -> (dir_ws [N,3], radiance [N,3], pdf [N]).
     Occlusion is the caller's job (the reference traces inside sample;
     the wavefront design batches shadow rays separately).
     """
-    S = env.rgb.shape[0]
-    rx = rand2[..., 0]
-    ry = rand2[..., 1]
-    n = rx.shape[0]
-    ix = jnp.zeros(n, jnp.int32)
-    iy = jnp.zeros(n, jnp.int32)
+    S = env.size
+    table = alias_table.AliasTable(
+        select=env.select, alias=env.alias, weight_sum=0.0, count=0
+    )
+    texel, ru = alias_table.sample(table, S * S, rand2[..., 0])
+    texel = texel.astype(jnp.int32)
+    ix = texel // S
+    iy = texel - ix * S
 
-    # walk from the 2x2 mip (index -2) to the finest (index 0); the
-    # reference's extra 1x1 iteration is a provable no-op.
-    for level in range(len(env.lum_mips) - 2, -1, -1):
-        m = env.lum_mips[level]
-        ix = ix * 2
-        iy = iy * 2
-        p00 = m[ix, iy]
-        p01 = m[ix, iy + 1]
-        p10 = m[ix + 1, iy]
-        p11 = m[ix + 1, iy + 1]
-        col0 = p00 + p01
-        col1 = p10 + p11
-        takes_x, rx = coin_flip_remap(col1 / jnp.maximum(col0 + col1, 1e-30), rx)
-        ix = ix + takes_x.astype(jnp.int32)
-        q0 = jnp.where(takes_x, p10, p00)
-        q1 = jnp.where(takes_x, p11, p01)
-        takes_y, ry = coin_flip_remap(q1 / jnp.maximum(q0 + q1, 1e-30), ry)
-        iy = iy + takes_y.astype(jnp.int32)
-
-    integral = env.lum_mips[-1][0, 0]
-    lum_texel = env.lum_mips[0][ix, iy]
-    discrete_pdf = lum_texel * (S * S) / jnp.maximum(integral, 1e-30)
+    row = env.rgbl[texel]
+    radiance = row[..., :3]
+    lum = row[..., 3]
+    discrete_pdf = lum * (S * S) / jnp.maximum(env.integral, 1e-30)
     uv = (
         jnp.stack([ix, iy], axis=-1).astype(jnp.float32)
-        + jnp.stack([rx, ry], axis=-1)
+        + jnp.stack([ru, rand2[..., 1]], axis=-1)
     ) / S
     dir_ws = square_to_equal_area_sphere(uv)
-    radiance = env.rgb[ix, iy]
     pdf = discrete_pdf / (4.0 * PI)
     return dir_ws, radiance, pdf
 
 
 def eval_envmap(env: EnvMap, dir_ws: jnp.ndarray):
     """(radiance [N,3], pdf [N]) of a given direction (light.hlsl:83-97)."""
-    S = env.rgb.shape[0]
+    S = env.size
     uv = square_to_equal_area_sphere_inverse(dir_ws)
     idx = jnp.clip((uv * S).astype(jnp.int32), 0, S - 1)
-    integral = env.lum_mips[-1][0, 0]
-    lum_texel = env.lum_mips[0][idx[..., 0], idx[..., 1]]
-    pdf = lum_texel * (S * S) / jnp.maximum(integral, 1e-30) / (4.0 * PI)
-    radiance = env.rgb[idx[..., 0], idx[..., 1]]
-    return radiance, pdf
+    row = env.rgbl[idx[..., 0] * S + idx[..., 1]]
+    pdf = row[..., 3] * (S * S) / jnp.maximum(env.integral, 1e-30) / (4.0 * PI)
+    return row[..., :3], pdf
 
 
-def envmap_incoming_radiance(env: EnvMap, dir_ws: jnp.ndarray):
-    """Bilinear-filtered miss radiance (light.hlsl:99-102)."""
-    S = env.rgb.shape[0]
+def miss_radiance_and_pdf(env: EnvMap, dir_ws: jnp.ndarray):
+    """Fused miss-path query: bilinear incoming radiance + texel pdf with a
+    single equal-area inverse (the integrator needs both every bounce)."""
+    S = env.size
     uv = square_to_equal_area_sphere_inverse(dir_ws)
     x = uv[..., 0] * S - 0.5
     y = uv[..., 1] * S - 0.5
@@ -187,6 +179,35 @@ def envmap_incoming_radiance(env: EnvMap, dir_ws: jnp.ndarray):
     xi1 = jnp.clip(xi0 + 1, 0, S - 1)
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
     yi1 = jnp.clip(yi0 + 1, 0, S - 1)
-    top = env.rgb[xi0, yi0] * (1 - fx) + env.rgb[xi1, yi0] * fx
-    bot = env.rgb[xi0, yi1] * (1 - fx) + env.rgb[xi1, yi1] * fx
-    return top * (1 - fy) + bot * fy
+    r00 = env.rgbl[xi0 * S + yi0]
+    r10 = env.rgbl[xi1 * S + yi0]
+    r01 = env.rgbl[xi0 * S + yi1]
+    r11 = env.rgbl[xi1 * S + yi1]
+    top = r00[..., :3] * (1 - fx) + r10[..., :3] * fx
+    bot = r01[..., :3] * (1 - fx) + r11[..., :3] * fx
+    bilinear = top + (bot - top) * fy
+    # pdf uses the point-sampled texel, like eval (light.hlsl:90-95)
+    idx = jnp.clip((uv * S).astype(jnp.int32), 0, S - 1)
+    texel = env.rgbl[idx[..., 0] * S + idx[..., 1]]
+    pdf = texel[..., 3] * (S * S) / jnp.maximum(env.integral, 1e-30) / (4.0 * PI)
+    return bilinear, texel[..., :3], pdf
+
+
+def envmap_incoming_radiance(env: EnvMap, dir_ws: jnp.ndarray):
+    """Bilinear-filtered miss radiance (light.hlsl:99-102)."""
+    S = env.size
+    uv = square_to_equal_area_sphere_inverse(dir_ws)
+    x = uv[..., 0] * S - 0.5
+    y = uv[..., 1] * S - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xi0 = jnp.clip(x0.astype(jnp.int32), 0, S - 1)
+    xi1 = jnp.clip(xi0 + 1, 0, S - 1)
+    yi0 = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
+    yi1 = jnp.clip(yi0 + 1, 0, S - 1)
+    fetch = lambda a, b: env.rgbl[a * S + b, :3]
+    top = fetch(xi0, yi0) * (1 - fx) + fetch(xi1, yi0) * fx
+    bot = fetch(xi0, yi1) * (1 - fx) + fetch(xi1, yi1) * fx
+    return top + (bot - top) * fy

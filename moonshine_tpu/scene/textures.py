@@ -21,14 +21,12 @@ import jax.numpy as jnp
 
 
 class TextureTable(NamedTuple):
-    x: jnp.ndarray  # [K] i32 rect origin
-    y: jnp.ndarray  # [K] i32
-    w: jnp.ndarray  # [K] i32 rect size
-    h: jnp.ndarray  # [K] i32
+    rect: jnp.ndarray  # [K, 4] i32 packed (x, y, w, h) — one gather per lookup
 
 
 class TextureAtlas(NamedTuple):
-    data: jnp.ndarray  # [H, W, 4] f32
+    data: jnp.ndarray  # [H*W, 4] f32 (flat so texel fetch is one row gather)
+    width: jnp.ndarray  # scalar i32 atlas row stride
     table: TextureTable
 
 
@@ -84,14 +82,19 @@ class AtlasBuilder:
         for i, img in enumerate(self.images):
             h, w, _ = img.shape
             data[ys[i] : ys[i] + h, xs[i] : xs[i] + w] = img
+        rect = np.stack(
+            [
+                xs,
+                ys,
+                np.asarray([im.shape[1] for im in self.images], np.int32),
+                np.asarray([im.shape[0] for im in self.images], np.int32),
+            ],
+            axis=-1,
+        )
         return TextureAtlas(
-            data=jnp.asarray(data),
-            table=TextureTable(
-                x=jnp.asarray(xs),
-                y=jnp.asarray(ys),
-                w=jnp.asarray([im.shape[1] for im in self.images], jnp.int32),
-                h=jnp.asarray([im.shape[0] for im in self.images], jnp.int32),
-            ),
+            data=jnp.asarray(data.reshape(-1, 4)),
+            width=jnp.asarray(atlas_w, jnp.int32),
+            table=TextureTable(rect=jnp.asarray(rect, jnp.int32)),
         )
 
 
@@ -104,12 +107,13 @@ def sample_texture(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray):
 
     Matches SampleLevel(sampler, uv, 0) with a linear-repeat sampler
     (material.hlsl:150,193-195): texel centers at half-integers, wraparound
-    within each texture's own domain.
+    within each texture's own domain. Cost: 1 rect gather + 4 texel gathers.
     """
-    tw = atlas.table.w[tex].astype(jnp.float32)
-    th = atlas.table.h[tex].astype(jnp.float32)
-    x0 = atlas.table.x[tex]
-    y0 = atlas.table.y[tex]
+    rect = atlas.table.rect[tex]  # [N, 4]
+    x0 = rect[..., 0]
+    y0 = rect[..., 1]
+    tw = rect[..., 2].astype(jnp.float32)
+    th = rect[..., 3].astype(jnp.float32)
 
     u = uv[..., 0] * tw - 0.5
     v = uv[..., 1] * th - 0.5
@@ -126,8 +130,10 @@ def sample_texture(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray):
     iv0 = wrap(iv, th)
     iv1 = wrap(iv + 1, th)
 
+    stride = atlas.width
+
     def fetch(ix, iy):
-        return atlas.data[y0 + iy, x0 + ix]
+        return atlas.data[(y0 + iy) * stride + (x0 + ix)]
 
     c00 = fetch(iu0, iv0)
     c10 = fetch(iu1, iv0)

@@ -32,7 +32,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..accel import lbvh
+from ..accel import lbvh, wide as wide_bvh
 from ..core import alias_table
 from ..lights.envmap import EnvMap, build_envmap, constant_envmap
 from .textures import AtlasBuilder, TextureAtlas
@@ -52,13 +52,14 @@ TYPE_GLASS, TYPE_LAMBERT, TYPE_MIRROR, TYPE_PBR = 0, 1, 2, 3
 
 
 class MaterialTable(NamedTuple):
-    type: jnp.ndarray  # [M] i32
-    normal_tex: jnp.ndarray  # [M] i32
-    emissive_tex: jnp.ndarray  # [M] i32
-    color_tex: jnp.ndarray  # [M] i32  (PBR + Lambert)
-    metalness_tex: jnp.ndarray  # [M] i32 (PBR)
-    roughness_tex: jnp.ndarray  # [M] i32 (PBR)
-    ior: jnp.ndarray  # [M] f32 (PBR + Glass)
+    """One packed row per material so a hit decodes with a single gather.
+    Texture handles are stored as f32 (exact below 2^24).
+
+    Columns: 0 type, 1 normal_tex, 2 emissive_tex, 3 color_tex,
+    4 metalness_tex, 5 roughness_tex, 6 ior, 7 pad.
+    """
+
+    packed: jnp.ndarray  # [M, 8] f32
 
 
 class EmitterTable(NamedTuple):
@@ -74,15 +75,14 @@ class EmitterTable(NamedTuple):
 
 class DeviceScene(NamedTuple):
     bvh: lbvh.BVH
-    tri_verts_sorted: jnp.ndarray  # [T,3,3] traversal order
+    wide: wide_bvh.WideBVH  # packet-traversal acceleration structure
+    tri_verts_sorted: jnp.ndarray  # [T,3,3] traversal order (jnp fallback)
     inv_order: jnp.ndarray  # [T] i32: original tri id -> sorted slot
-    tri_normals: jnp.ndarray  # [T,3,3] world corner normals
-    tri_uvs: jnp.ndarray  # [T,3,2]
-    tri_material: jnp.ndarray  # [T] i32
-    tri_sampled: jnp.ndarray  # [T] bool
-    tri_instance: jnp.ndarray  # [T] i32
-    tri_geometry: jnp.ndarray  # [T] i32
-    tri_primitive: jnp.ndarray  # [T] i32
+    # one packed row per triangle so a hit decodes with a single gather:
+    # 0-8 corner positions, 9-17 corner normals (world, inverse-transpose),
+    # 18-23 corner uvs, 24 material id, 25 sampled flag, 26 instance id,
+    # 27 geometry id, 28 primitive id (ids f32-exact below 2^24)
+    tri_shade: jnp.ndarray  # [T, 32] f32
     materials: MaterialTable
     atlas: TextureAtlas
     env: EnvMap
@@ -93,8 +93,12 @@ class DeviceScene(NamedTuple):
         return self.bvh.num_tris
 
     def corner_positions(self, tri_ids):
-        """Gather [N,3,3] world corner positions for original tri ids."""
-        return self.tri_verts_sorted[self.inv_order[tri_ids]]
+        """Gather [N,3,3] world corner positions for original tri ids.
+
+        Gather full rows, then slice: mixed advanced+basic indexing
+        (`x[ids, 0:9]`) lowers to a pathologically slow TPU gather.
+        """
+        return self.tri_shade[tri_ids][:, 0:9].reshape(*tri_ids.shape, 3, 3)
 
 
 class World:
@@ -154,6 +158,7 @@ class World:
             raise ValueError("scene has no visible triangles")
 
         bvh = lbvh.build(verts)
+        wide = wide_bvh.build_wide(verts)
         order = np.asarray(bvh.tri_order)
         inv_order = np.empty(T, np.int64)
         inv_order[order] = np.arange(T)
@@ -171,17 +176,22 @@ class World:
                 f"too many textures: {len(atlas_builder.images)} > {self.MAX_TEXTURES}"
             )
 
+        tri_shade = np.zeros((T, 32), np.float32)
+        tri_shade[:, 0:9] = verts.reshape(T, 9)
+        tri_shade[:, 9:18] = normals.reshape(T, 9)
+        tri_shade[:, 18:24] = uvs.reshape(T, 6)
+        tri_shade[:, 24] = mat_ids
+        tri_shade[:, 25] = sampled
+        tri_shade[:, 26] = inst_ids
+        tri_shade[:, 27] = geo_ids
+        tri_shade[:, 28] = prim_ids
+
         return DeviceScene(
             bvh=bvh,
+            wide=wide,
             tri_verts_sorted=jnp.asarray(verts[order]),
             inv_order=jnp.asarray(inv_order, jnp.int32),
-            tri_normals=jnp.asarray(normals),
-            tri_uvs=jnp.asarray(uvs),
-            tri_material=jnp.asarray(mat_ids, jnp.int32),
-            tri_sampled=jnp.asarray(sampled),
-            tri_instance=jnp.asarray(inst_ids, jnp.int32),
-            tri_geometry=jnp.asarray(geo_ids, jnp.int32),
-            tri_primitive=jnp.asarray(prim_ids, jnp.int32),
+            tri_shade=jnp.asarray(tri_shade),
             materials=mat_table,
             atlas=atlas,
             env=env,
@@ -250,15 +260,15 @@ def _build_materials(materials, builder: AtlasBuilder) -> MaterialTable:
         else:
             raise TypeError(f"unknown material variant {v!r}")
 
-    return MaterialTable(
-        type=jnp.asarray(type_),
-        normal_tex=jnp.asarray(normal_tex),
-        emissive_tex=jnp.asarray(emissive_tex),
-        color_tex=jnp.asarray(color_tex),
-        metalness_tex=jnp.asarray(metal_tex),
-        roughness_tex=jnp.asarray(rough_tex),
-        ior=jnp.asarray(ior),
-    )
+    packed = np.zeros((n, 8), np.float32)
+    packed[:, 0] = type_
+    packed[:, 1] = normal_tex
+    packed[:, 2] = emissive_tex
+    packed[:, 3] = color_tex
+    packed[:, 4] = metal_tex
+    packed[:, 5] = rough_tex
+    packed[:, 6] = ior
+    return MaterialTable(packed=jnp.asarray(packed))
 
 
 def _flatten_instances(meshes, materials, instances):

@@ -29,6 +29,13 @@ from moonshine_tpu.scene.world import World
 from fixtures import icosphere
 
 
+def jnp_traversal(scene):
+    """Drop the wide BVH so trace_paths uses the jnp traversal — the Pallas
+    packet kernel in interpret mode is far too slow for CPU furnace renders
+    (its correctness is covered by test_packet.py)."""
+    return scene._replace(wide=None)
+
+
 def furnace_world(albedo=1.0, emissive=0.0, interior=False, sampled=False,
                   subdivisions=3):
     world = World()
@@ -74,7 +81,7 @@ def inside_lens():
 
 class TestFurnace:
     def test_white_sphere_white_background_no_nee(self):
-        scene = furnace_world(albedo=1.0).build()
+        scene = jnp_traversal(furnace_world(albedo=1.0).build())
         cfg = PathConfig(max_bounces=64, env_samples_per_bounce=0,
                          mesh_samples_per_bounce=0)
         sensor, _ = render(scene, outside_lens(), 48, 48, spp=4, cfg=cfg)
@@ -83,7 +90,7 @@ class TestFurnace:
         assert err.max() < 1e-4, f"max abs err {err.max()}"
 
     def test_white_sphere_white_background_with_mis(self):
-        scene = furnace_world(albedo=1.0).build()
+        scene = jnp_traversal(furnace_world(albedo=1.0).build())
         cfg = PathConfig(max_bounces=64, env_samples_per_bounce=1,
                          mesh_samples_per_bounce=0)
         sensor, _ = render(scene, outside_lens(), 32, 32, spp=96, cfg=cfg)
@@ -92,7 +99,7 @@ class TestFurnace:
         assert err.max() < 0.1, f"max abs err {err.max()}"  # tests.zig:359-362
 
     def test_inside_illuminating_sphere(self):
-        scene = furnace_world(albedo=0.5, emissive=0.5, interior=True).build()
+        scene = jnp_traversal(furnace_world(albedo=0.5, emissive=0.5, interior=True).build())
         cfg = PathConfig(max_bounces=64, env_samples_per_bounce=0,
                          mesh_samples_per_bounce=0)
         # the reference bounds max abs err by 0.02 at 1024 spp
@@ -107,9 +114,9 @@ class TestFurnace:
     def test_inside_illuminating_sphere_sampled_light(self):
         # the reference's pending test (tests.zig:457-487): identical furnace
         # but with the emissive sphere in the NEE alias table
-        scene = furnace_world(
+        scene = jnp_traversal(furnace_world(
             albedo=0.5, emissive=0.5, interior=True, sampled=True
-        ).build()
+        ).build())
         cfg = PathConfig(max_bounces=64, env_samples_per_bounce=0,
                          mesh_samples_per_bounce=1)
         sensor, _ = render(scene, inside_lens(), 16, 16, spp=128, cfg=cfg)
@@ -117,6 +124,18 @@ class TestFurnace:
         err = np.abs(img - 1.0)
         assert abs(img.mean() - 1.0) < 5e-3, f"mean {img.mean()}"
         assert err.max() < 0.06, f"max abs err {err.max()}"
+
+
+class TestFurnacePacketPath:
+    def test_white_furnace_through_packet_kernel(self):
+        # same physics as test 1 but through the Pallas packet traversal
+        # (interpret mode on CPU), small enough to stay fast
+        scene = furnace_world(albedo=1.0, subdivisions=1).build()
+        cfg = PathConfig(max_bounces=16, env_samples_per_bounce=0,
+                         mesh_samples_per_bounce=0)
+        sensor, _ = render(scene, outside_lens(), 8, 8, spp=2, cfg=cfg)
+        img = np.asarray(sensor.image)
+        assert np.abs(img - 1.0).max() < 1e-4
 
 
 if __name__ == "__main__":

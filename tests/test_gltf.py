@@ -126,7 +126,7 @@ class TestParser:
         scene = world.build()
         assert scene.num_tris == 12
         assert int(scene.emitters.count) == 2
-        assert int(scene.materials.type[0]) == TYPE_LAMBERT
+        assert int(scene.materials.packed[0, 0]) == TYPE_LAMBERT
 
 
 class TestOfflineCli:

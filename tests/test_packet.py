@@ -1,0 +1,103 @@
+"""Wide BVH + Pallas packet traversal vs the brute-force oracle (interpret
+mode on CPU; the same kernel compiles natively on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonshine_tpu.accel import packet, traverse, wide
+
+from test_bvh import random_rays, random_tris
+
+
+def oracle(tris, o, d, t_max=1e12):
+    return traverse.brute_force_closest(jnp.asarray(tris), o, d, t_max)
+
+
+class TestWideBuild:
+    def test_leaves_cover_all_tris(self):
+        tris = random_tris(333, seed=1)
+        w = wide.build_wide(tris)
+        ids = np.asarray(w.ids).reshape(-1)
+        ids = ids[ids >= 0]
+        assert sorted(ids.tolist()) == list(range(333))
+
+    def test_child_pointers_valid(self):
+        tris = random_tris(500, seed=2)
+        w = wide.build_wide(tris)
+        ptr = np.asarray(w.ptr)
+        internal = ptr[ptr >= 0]
+        leaves = ptr[ptr <= -2]
+        assert (internal < w.num_nodes).all()
+        assert ((-2 - leaves) < w.num_leaves).all()
+        # every node/leaf reachable exactly once (tree, not DAG)
+        assert len(set(internal.tolist())) == len(internal)
+        assert len(set(leaves.tolist())) == len(leaves)
+
+    def test_tiny_scene(self):
+        tris = random_tris(3, seed=3)
+        w = wide.build_wide(tris)
+        assert w.num_nodes == 1
+
+
+class TestPacketTraversal:
+    @pytest.mark.parametrize("n_tris,seed", [(37, 4), (700, 5)])
+    def test_closest_matches_oracle(self, n_tris, seed):
+        tris = random_tris(n_tris, seed=seed)
+        w = wide.build_wide(tris)
+        o, d = random_rays(256, seed=seed + 10)
+        got = packet.closest_hit_packet(w, o, d, 1e12)
+        want = oracle(tris, o, d)
+        np.testing.assert_array_equal(
+            np.asarray(got.is_hit), np.asarray(want.is_hit)
+        )
+        hit = np.asarray(want.is_hit)
+        np.testing.assert_allclose(
+            np.asarray(got.t)[hit], np.asarray(want.t)[hit], rtol=1e-4,
+            atol=1e-5,
+        )
+        same = np.asarray(got.tri)[hit] == np.asarray(want.tri)[hit]
+        assert same.mean() > 0.99
+
+    def test_respects_active_mask(self):
+        tris = random_tris(100, seed=6)
+        w = wide.build_wide(tris)
+        o, d = random_rays(128, seed=7)
+        active = jnp.arange(128) % 3 == 0
+        got = packet.closest_hit_packet(w, o, d, 1e12, active_in=active)
+        assert not np.asarray(got.is_hit)[~np.asarray(active)].any()
+
+    def test_any_hit_matches_closest(self):
+        tris = random_tris(400, seed=8)
+        w = wide.build_wide(tris)
+        o, d = random_rays(512, seed=9)
+        closest = packet.closest_hit_packet(w, o, d, 1e12)
+        occl = packet.any_hit_packet(w, o, d, 1e12)
+        np.testing.assert_array_equal(
+            np.asarray(occl), np.asarray(closest.is_hit)
+        )
+
+    def test_any_hit_tmax(self):
+        tris = random_tris(200, seed=10)
+        w = wide.build_wide(tris)
+        o, d = random_rays(256, seed=11)
+        closest = packet.closest_hit_packet(w, o, d, 1e12)
+        occl = packet.any_hit_packet(
+            w, o, d, jnp.maximum(closest.t * 0.999, 0.0)
+        )
+        hit = np.asarray(closest.is_hit)
+        assert not np.asarray(occl)[hit].any()
+
+    def test_nonmultiple_block_size(self):
+        tris = random_tris(64, seed=12)
+        w = wide.build_wide(tris)
+        o, d = random_rays(1500, seed=13)  # not a multiple of 1024
+        got = packet.closest_hit_packet(w, o, d, 1e12)
+        want = oracle(tris, o, d)
+        np.testing.assert_array_equal(
+            np.asarray(got.is_hit), np.asarray(want.is_hit)
+        )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])

@@ -14,10 +14,12 @@ from test_furnace import furnace_world, outside_lens
 
 @pytest.fixture(scope="module")
 def setup():
-    scene = furnace_world(albedo=0.6).build()
+    scene = furnace_world(albedo=0.6).build()._replace(wide=None)
     lens = outside_lens()
+    # unroll=False: ten unrolled bounce segments under an 8-device shard_map
+    # is a compile-time explosion on the CPU test mesh
     cfg = PathConfig(max_bounces=8, env_samples_per_bounce=1,
-                     mesh_samples_per_bounce=0)
+                     mesh_samples_per_bounce=0, unroll=False)
     return scene, lens, cfg
 
 
