@@ -195,6 +195,32 @@ def _pbr_eval(mat: MaterialLanes, w_i, w_o):
     return spec + (1.0 - mat.metalness[..., None]) * diffuse
 
 
+# --- DisneyDiffuse (material.hlsl:272-311) ---
+# The reference carries this model unbound to any variant; exposed here the
+# same way: usable standalone, not part of the runtime dispatch.
+
+def disney_diffuse_sample(color, roughness, w_o, square):
+    return _lambert_sample(w_o, square)
+
+
+def disney_diffuse_pdf(w_i, w_o):
+    return _lambert_pdf(w_i, w_o)
+
+
+def disney_diffuse_eval(color, roughness, w_i, w_o):
+    lambertian = color / PI
+    h = safe_normalize(w_i + w_o)
+    cos_hi = dot(w_i, h, keepdims=False)
+    cos_ni = jnp.abs(cos_theta(w_i))
+    cos_no = jnp.abs(cos_theta(w_o))
+    f_i = (1.0 - cos_ni) ** 5
+    f_o = (1.0 - cos_no) ** 5
+    r_r = 2.0 * roughness * cos_hi * cos_hi
+    retro = r_r * (f_i + f_o + f_i * f_o * (r_r - 1.0))
+    scale = (1.0 - f_i / 2.0) * (1.0 - f_o / 2.0) + retro
+    return lambertian * scale[..., None]
+
+
 # --- PerfectMirror (material.hlsl:313-332) ---
 
 def _mirror_sample(w_o):

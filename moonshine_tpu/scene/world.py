@@ -155,7 +155,18 @@ class World:
         )
         T = len(verts)
         if T == 0:
-            raise ValueError("scene has no visible triangles")
+            # empty / fully hidden scene (World.createEmpty parity): a single
+            # degenerate triangle that can never be hit keeps shapes valid
+            verts = np.zeros((1, 3, 3), np.float32)
+            normals = np.zeros((1, 3, 3), np.float32)
+            normals[:, :, 2] = 1.0
+            uvs = np.zeros((1, 3, 2), np.float32)
+            mat_ids = np.zeros(1, np.int32)
+            sampled = np.zeros(1, bool)
+            inst_ids = np.full(1, -1, np.int32)
+            geo_ids = np.zeros(1, np.int32)
+            prim_ids = np.zeros(1, np.int32)
+            T = 1
 
         bvh = lbvh.build(verts)
         wide = wide_bvh.build_wide(verts)
