@@ -40,7 +40,7 @@ def main():
     img, rays = step(0)
     img.block_until_ready()
 
-    n_samples = 3
+    n_samples = 8
     t0 = time.perf_counter()
     total_rays = 0.0
     acc = None

@@ -30,8 +30,24 @@ from jax.experimental.pallas import tpu as pltpu
 from .traverse import Hit
 from .wide import WideBVH, WIDTH
 
-BLOCK = 1024  # rays per packet: one (8, 128) f32 tile per SoA component
+# Rays per packet. Bigger blocks amortize the per-visit scalar work
+# (stack ops, child-box scalar loads) over more lanes; the vector work is
+# proportional. On a tiny scene the throughput asymptote is ~BLOCK=8192;
+# big incoherent scenes may prefer smaller blocks (divergence) — tune via
+# set_block_size.
+BLOCK = 8192
+ROWS = BLOCK // 128
 STACK_DEPTH = 512
+
+
+def set_block_size(block: int) -> None:
+    """Adjust packet width (multiple of 128). Affects future traces."""
+    global BLOCK, ROWS, _ray_spec
+    assert block % 128 == 0
+    BLOCK = block
+    ROWS = block // 128
+    _ray_spec = pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
 _NEG = -1.0e30
 
 
@@ -233,18 +249,14 @@ def _prep_rays(ray_o, ray_d, t_max, active):
     G = -(-N // BLOCK)
     pad = G * BLOCK - N
 
-    def blk(x):
-        x = jnp.pad(x, (0, pad), constant_values=_NEG if x is t_max else 0.0)
-        return x.reshape(G, 8, 128)
-
     comps = [ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
              ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]]
-    comps = [jnp.pad(c, (0, pad)) .reshape(G, 8, 128) for c in comps]
-    tm = jnp.pad(t_max, (0, pad), constant_values=_NEG).reshape(G, 8, 128)
+    comps = [jnp.pad(c, (0, pad)).reshape(G, ROWS, 128) for c in comps]
+    tm = jnp.pad(t_max, (0, pad), constant_values=_NEG).reshape(G, ROWS, 128)
     return comps + [tm], G, pad, N
 
 
-_ray_spec = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+_ray_spec = pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM)
 
 
@@ -265,12 +277,12 @@ def closest_hit_packet(wbvh: WideBVH, ray_o, ray_d, t_max,
     rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.float32),
     ]
-    out_spec = pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+    out_spec = pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     t, tri, u, v = pl.pallas_call(
         _closest_kernel,
@@ -301,9 +313,9 @@ def any_hit_packet(wbvh: WideBVH, ray_o, ray_d, t_max,
         _anyhit_kernel,
         grid=(G,),
         in_specs=_scene_specs(wbvh) + [_ray_spec] * 7,
-        out_specs=pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
     )(wbvh.boxes, wbvh.ptr, wbvh.tris, wbvh.ids, *rays)

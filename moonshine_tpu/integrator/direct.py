@@ -58,8 +58,8 @@ def trace_direct(scene, ray_o, ray_d, rng_state, cfg: DirectConfig):
     position, uv, tri_frame, vtx_frame, mat_row, _ = _decode_hit(
         scene, tri, hit.u, hit.v
     )
-    mat, emissive = _decode_material(scene, mat_row, uv)
-    tex_frame = _texture_frame(scene, mat_row, uv, vtx_frame)
+    mat, emissive, normal_rg = _decode_material(scene, mat_row, uv)
+    tex_frame = _texture_frame(normal_rg, vtx_frame)
 
     w_o_ws = -ray_d
     tex_ok = dot(w_o_ws, tex_frame.n, keepdims=False) > 0.0

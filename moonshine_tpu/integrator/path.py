@@ -44,7 +44,8 @@ from ..lights.envmap import (
     sample_envmap,
 )
 from ..lights.mesh_lights import area_to_solid_angle, sample_mesh_lights
-from ..scene.textures import sample_texture
+from ..scene import textures as TX
+from ..scene.textures import sample_material_block
 
 
 @dataclass(frozen=True)
@@ -133,28 +134,29 @@ def _decode_hit(scene, tri, bary_u, bary_v):
 
 
 def _decode_material(scene, mat_row, uv):
-    """Texture lookups -> per-lane material parameters
-    (material.hlsl loads :146-199 + getEmissive :519-522)."""
-    tex = lambda col: mat_row[:, col].astype(jnp.int32)
-    color = sample_texture(scene.atlas, tex(3), uv)[..., :3]
-    metalness = sample_texture(scene.atlas, tex(4), uv)[..., 0]
-    roughness = sample_texture(scene.atlas, tex(5), uv)[..., 0]
-    emissive = sample_texture(scene.atlas, tex(2), uv)[..., :3]
+    """One material-block fetch -> per-lane material parameters, emitted
+    radiance, and tangent-space normal (material.hlsl loads :146-199 +
+    getEmissive :519-522 + the normal sample of getTextureFrame)."""
+    block = sample_material_block(scene.mat_atlas, mat_row[:, 1:5], uv)
+    color = block[:, TX.COLOR]
+    metalness = block[:, TX.METALNESS]
+    roughness = block[:, TX.ROUGHNESS]
+    emissive = block[:, TX.EMISSIVE]
+    normal_rg = block[:, TX.NORMAL_RG]
     lanes = B.MaterialLanes(
         type=mat_row[:, 0].astype(jnp.int32),
         color=color,
         metalness=metalness,
         alpha=jnp.maximum(roughness * roughness, 1e-3),
-        ior=mat_row[:, 6],
+        ior=mat_row[:, 5],
     )
-    return lanes, emissive
+    return lanes, emissive, normal_rg
 
 
-def _texture_frame(scene, mat_row, uv, vtx_frame):
+def _texture_frame(normal_rg, vtx_frame):
     """Normal-mapped shading frame (material.hlsl:489-517); two-component
     normal decode is the reference default."""
-    rg = sample_texture(scene.atlas, mat_row[:, 1].astype(jnp.int32), uv)[..., :2]
-    rg = rg * 2.0 - 1.0
+    rg = normal_rg * 2.0 - 1.0
     z = jnp.sqrt(jnp.clip(1.0 - jnp.sum(rg * rg, axis=-1), 0.0, 1.0))
     n_ts = jnp.concatenate([rg, z[..., None]], axis=-1)
     n_ws = normalize(vtx_frame.frame_to_world(n_ts))
@@ -168,8 +170,9 @@ def _emissive_at(scene, tri, bary):
     uvs = row[:, 18:24].reshape(n, 3, 2)
     uv = _interp(bary[..., 0], bary[..., 1], uvs)
     mat_id = row[:, 24].astype(jnp.int32)
-    emissive_tex = scene.materials.packed[mat_id][:, 2].astype(jnp.int32)
-    return sample_texture(scene.atlas, emissive_tex, uv)[..., :3]
+    mat_row = scene.materials.packed[mat_id]
+    block = sample_material_block(scene.mat_atlas, mat_row[:, 1:5], uv)
+    return block[:, TX.EMISSIVE]
 
 
 def _closest(scene, o, d, t_max, active):
@@ -236,8 +239,8 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st):
     position, uv, tri_frame, vtx_frame, mat_row, tri_sampled = _decode_hit(
         scene, tri, hit.u, hit.v
     )
-    mat, emissive = _decode_material(scene, mat_row, uv)
-    tex_frame = _texture_frame(scene, mat_row, uv, vtx_frame)
+    mat, emissive, normal_rg = _decode_material(scene, mat_row, uv)
+    tex_frame = _texture_frame(normal_rg, vtx_frame)
 
     w_o_ws = -d
     # shading-normal selection chain (integrator.hlsl:93-104)
@@ -293,7 +296,12 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st):
     is_delta = B.is_delta(mat.type)
     nee_active = active & ~is_delta
 
-    # ---- NEE: environment map (integrator.hlsl:139-144)
+    # ---- NEE (integrator.hlsl:139-151): draw every light sample first,
+    # trace ALL shadow rays as one batched any-hit dispatch, then weight.
+    # The reference traces inside each light's sample(); batching the
+    # segments halves the traversal dispatches per bounce.
+    shadow_batches = []  # (origin, dir, tmax, lane, payload)
+
     for _ in range(cfg.env_samples_per_bounce):
         rng, r2 = R.next_float2(rng)
         l_dir, l_rad, l_pdf = sample_envmap(scene.env, r2)
@@ -301,30 +309,11 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st):
             position, face_forward(tri_frame.n, l_dir)
         )
         lane = nee_active & (l_pdf > 0.0)
-        occluded = _any_hit(scene, shadow_o, l_dir, INF_T, lane)
-        rays = rays + jnp.sum(lane)
-        l_pdf = jnp.where(occluded, 0.0, l_pdf)
-        w_i_ss = frame.world_to_frame(l_dir)
-        scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
-        brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
-        mis = power_heuristic(
-            cfg.env_samples_per_bounce, l_pdf, 1.0, scatter_pdf
-        )
-        contrib = (
-            l_rad
-            * brdf
-            * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
-                ..., None
-            ]
-        )
-        ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
-        radiance = radiance + jnp.where(
-            ok[..., None],
-            throughput * contrib / cfg.env_samples_per_bounce,
-            0.0,
+        shadow_batches.append(
+            (shadow_o, l_dir, jnp.full_like(l_pdf, INF_T), lane,
+             ("env", l_dir, l_rad, l_pdf))
         )
 
-    # ---- NEE: emissive meshes (integrator.hlsl:146-151, light.hlsl:130-158)
     for _ in range(cfg.mesh_samples_per_bounce):
         rng, r2 = R.next_float2(rng)
         l_dir, l_pos, l_n, l_tri, l_bary, l_pdf = sample_mesh_lights(
@@ -340,28 +329,43 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st):
         seg_len = jnp.linalg.norm(seg, axis=-1)
         seg_dir = seg / jnp.maximum(seg_len, 1e-20)[..., None]
         lane = nee_active & (l_pdf > 0.0)
-        occluded = _any_hit(scene, off_shade, seg_dir, seg_len, lane)
-        rays = rays + jnp.sum(lane)
-        l_pdf = jnp.where(occluded, 0.0, l_pdf)
-        w_i_ss = frame.world_to_frame(l_dir)
-        scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
-        brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
-        mis = power_heuristic(
-            cfg.mesh_samples_per_bounce, l_pdf, 1.0, scatter_pdf
+        shadow_batches.append(
+            (off_shade, seg_dir, seg_len, lane,
+             ("mesh", l_dir, l_rad, l_pdf))
         )
-        contrib = (
-            l_rad
-            * brdf
-            * (jnp.abs(cos_theta(w_i_ss)) * mis / jnp.maximum(l_pdf, 1e-30))[
-                ..., None
-            ]
+
+    if shadow_batches:
+        occ_all = _any_hit(
+            scene,
+            jnp.concatenate([b[0] for b in shadow_batches]),
+            jnp.concatenate([b[1] for b in shadow_batches]),
+            jnp.concatenate([b[2] for b in shadow_batches]),
+            jnp.concatenate([b[3] for b in shadow_batches]),
         )
-        ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
-        radiance = radiance + jnp.where(
-            ok[..., None],
-            throughput * contrib / cfg.mesh_samples_per_bounce,
-            0.0,
-        )
+        n = position.shape[0]
+        for i, (_, _, _, lane, payload) in enumerate(shadow_batches):
+            kind, l_dir, l_rad, l_pdf = payload
+            occluded = occ_all[i * n : (i + 1) * n]
+            rays = rays + jnp.sum(lane)
+            l_pdf = jnp.where(occluded, 0.0, l_pdf)
+            w_i_ss = frame.world_to_frame(l_dir)
+            scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
+            brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+            n_samples = (
+                cfg.env_samples_per_bounce if kind == "env"
+                else cfg.mesh_samples_per_bounce
+            )
+            mis = power_heuristic(n_samples, l_pdf, 1.0, scatter_pdf)
+            contrib = (
+                l_rad
+                * brdf
+                * (jnp.abs(cos_theta(w_i_ss)) * mis
+                   / jnp.maximum(l_pdf, 1e-30))[..., None]
+            )
+            ok = lane & (l_pdf > 0.0) & (scatter_pdf > 0.0)
+            radiance = radiance + jnp.where(
+                ok[..., None], throughput * contrib / n_samples, 0.0
+            )
 
     # ---- scatter (integrator.hlsl:153-163)
     rng, r2 = R.next_float2(rng)

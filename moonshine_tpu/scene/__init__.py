@@ -1,4 +1,8 @@
-from .textures import TextureAtlas, TextureTable, sample_texture  # noqa: F401
+from .textures import (  # noqa: F401
+    MaterialAtlas,
+    MaterialBlockBuilder,
+    sample_material_block,
+)
 from .types import (  # noqa: F401
     Mesh,
     Geometry,

@@ -1,15 +1,23 @@
-"""Bindless-style texture storage for TPU: one atlas array + a rect table.
+"""Material texture storage: one 16-channel block per material.
 
 The reference binds up to 1024 independently-sized images through a
-partially-bound descriptor array with one linear-repeat sampler
-(MaterialManager.zig:285-445 TextureManager). XLA wants static shapes, so
-instead we shelf-pack every image into a single [H, W, 4] float32 atlas and
-address textures by a u32 handle into a rect table; sampling is a manual
-bilinear gather with repeat wrapping *within the texture's own rect*,
-matching the reference's repeat sampler semantics.
+bindless descriptor array and samples five of them per hit (color,
+metalness, roughness, emissive, normal — material.hlsl loads + getEmissive
++ getTextureFrame). Five separate bilinear lookups would be ~25 gathers per
+bounce on TPU, so instead every material's maps are resampled to a common
+per-material resolution at build time and packed channel-wise:
 
-Solid-color "textures" are 1x1 rects, exactly like the reference's
-1x1-image constants (MaterialManager.zig:304-315).
+    channels 0-2 color | 3 metalness | 4 roughness | 5-7 emissive
+    | 8-9 normal (rg)  | 10-15 pad
+
+One bilinear fetch of the block (4 row gathers of a flat [H*W, 16] atlas)
+decodes the whole material. Repeat-wrap bilinear matches the reference's
+linear-repeat sampler semantics; differently-sized maps inside one material
+are bilinear-upsampled to the largest, a build-time prefilter the reference
+doesn't need (its sampler walks each image separately).
+
+The per-material block rect lives inside the packed material row, so there
+is no separate rect-table gather at all.
 """
 
 from __future__ import annotations
@@ -19,99 +27,124 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-
-class TextureTable(NamedTuple):
-    rect: jnp.ndarray  # [K, 4] i32 packed (x, y, w, h) — one gather per lookup
-
-
-class TextureAtlas(NamedTuple):
-    data: jnp.ndarray  # [H*W, 4] f32 (flat so texel fetch is one row gather)
-    width: jnp.ndarray  # scalar i32 atlas row stride
-    table: TextureTable
+BLOCK_CHANNELS = 16
+COLOR = slice(0, 3)
+METALNESS = 3
+ROUGHNESS = 4
+EMISSIVE = slice(5, 8)
+NORMAL_RG = slice(8, 10)
 
 
-class AtlasBuilder:
-    """Host-side shelf packer. upload() returns the u32 handle."""
+class MaterialAtlas(NamedTuple):
+    data: jnp.ndarray  # [H*W, 16] f32 flat rows
+    width: jnp.ndarray  # scalar i32 row stride
+
+
+def _as_image(source, channels: int) -> np.ndarray:
+    """Constant or [h,w,c] image -> [h,w,channels] float32."""
+    src = np.asarray(source, np.float32)
+    if src.ndim <= 1:
+        v = np.broadcast_to(src.reshape(-1)[:channels], (channels,))
+        if src.ndim == 0 or src.size < channels:
+            v = np.full(channels, float(src.reshape(-1)[0]), np.float32) \
+                if src.size == 1 else np.resize(src, channels)
+        return np.asarray(v, np.float32).reshape(1, 1, channels)
+    if src.ndim == 2:
+        src = src[..., None]
+    return src[..., :channels].astype(np.float32) if src.shape[-1] >= channels \
+        else np.concatenate(
+            [src, np.ones((*src.shape[:2], channels - src.shape[-1]), np.float32)],
+            axis=-1,
+        )
+
+
+def _resize_bilinear_wrap(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Upsample with the same repeat-wrap bilinear used at runtime."""
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    ih, iw = img.shape[:2]
+    v = (np.arange(h) + 0.5) / h * ih - 0.5
+    u = (np.arange(w) + 0.5) / w * iw - 0.5
+    v0 = np.floor(v).astype(np.int64)
+    u0 = np.floor(u).astype(np.int64)
+    fv = (v - v0)[:, None, None]
+    fu = (u - u0)[None, :, None]
+    v0w, v1w = v0 % ih, (v0 + 1) % ih
+    u0w, u1w = u0 % iw, (u0 + 1) % iw
+    top = img[v0w][:, u0w] * (1 - fu) + img[v0w][:, u1w] * fu
+    bot = img[v1w][:, u0w] * (1 - fu) + img[v1w][:, u1w] * fu
+    return top * (1 - fv) + bot * fv
+
+
+class MaterialBlockBuilder:
+    """Host-side packer: add() returns the block rect (x, y, w, h)."""
 
     def __init__(self):
-        self.images: list[np.ndarray] = []
+        self.blocks: list[np.ndarray] = []
 
-    def upload(self, image: np.ndarray) -> int:
-        """image: [h, w, c] float32, c in {1,2,3,4}; padded to 4 channels."""
-        img = np.asarray(image, np.float32)
-        if img.ndim == 2:
-            img = img[..., None]
-        h, w, c = img.shape
-        if c < 4:
-            pad = np.ones((h, w, 4 - c), np.float32)
-            img = np.concatenate([img, pad], axis=-1)
-        self.images.append(img)
-        return len(self.images) - 1
+    def add(self, color, metalness, roughness, emissive, normal_rg) -> int:
+        imgs = [
+            (COLOR, _as_image(color, 3)),
+            (slice(METALNESS, METALNESS + 1), _as_image(metalness, 1)),
+            (slice(ROUGHNESS, ROUGHNESS + 1), _as_image(roughness, 1)),
+            (EMISSIVE, _as_image(emissive, 3)),
+            (NORMAL_RG, _as_image(normal_rg, 2)),
+        ]
+        h = max(im.shape[0] for _, im in imgs)
+        w = max(im.shape[1] for _, im in imgs)
+        block = np.zeros((h, w, BLOCK_CHANNELS), np.float32)
+        for where, im in imgs:
+            block[..., where] = _resize_bilinear_wrap(im, h, w)
+        self.blocks.append(block)
+        return len(self.blocks) - 1
 
-    def upload_solid(self, value) -> int:
-        v = np.asarray(value, np.float32).reshape(-1)
-        return self.upload(v[None, None, :])
-
-    def build(self) -> TextureAtlas:
-        if not self.images:
-            self.upload_solid([1.0, 1.0, 1.0, 1.0])
-        order = sorted(
-            range(len(self.images)), key=lambda i: -self.images[i].shape[0]
-        )
-        # shelf packing into a width-capped atlas
-        max_w = max(img.shape[1] for img in self.images)
-        atlas_w = max(_next_pow2(max_w), 64)
-        total_area = sum(im.shape[0] * im.shape[1] for im in self.images)
-        while atlas_w * atlas_w < total_area * 1.4 and atlas_w < 16384:
+    def build(self):
+        """Returns (MaterialAtlas, rects [n, 4] int32 (x, y, w, h))."""
+        if not self.blocks:
+            self.add((1, 1, 1), 0.0, 1.0, (0, 0, 0), (0.5, 0.5))
+        max_w = max(b.shape[1] for b in self.blocks)
+        atlas_w = max(_next_pow2(max_w), 16)
+        total = sum(b.shape[0] * b.shape[1] for b in self.blocks)
+        while atlas_w * atlas_w < total * 1.4 and atlas_w < 16384:
             atlas_w *= 2
 
-        xs = np.zeros(len(self.images), np.int32)
-        ys = np.zeros(len(self.images), np.int32)
-        shelf_x, shelf_y, shelf_h = 0, 0, 0
+        order = sorted(range(len(self.blocks)),
+                       key=lambda i: -self.blocks[i].shape[0])
+        rects = np.zeros((len(self.blocks), 4), np.int32)
+        shelf_x = shelf_y = shelf_h = 0
         for i in order:
-            h, w, _ = self.images[i].shape
+            h, w, _ = self.blocks[i].shape
             if shelf_x + w > atlas_w:
                 shelf_y += shelf_h
                 shelf_x, shelf_h = 0, 0
-            xs[i], ys[i] = shelf_x, shelf_y
+            rects[i] = (shelf_x, shelf_y, w, h)
             shelf_x += w
             shelf_h = max(shelf_h, h)
         atlas_h = _next_pow2(shelf_y + shelf_h)
 
-        data = np.zeros((atlas_h, atlas_w, 4), np.float32)
-        for i, img in enumerate(self.images):
-            h, w, _ = img.shape
-            data[ys[i] : ys[i] + h, xs[i] : xs[i] + w] = img
-        rect = np.stack(
-            [
-                xs,
-                ys,
-                np.asarray([im.shape[1] for im in self.images], np.int32),
-                np.asarray([im.shape[0] for im in self.images], np.int32),
-            ],
-            axis=-1,
-        )
-        return TextureAtlas(
-            data=jnp.asarray(data.reshape(-1, 4)),
+        data = np.zeros((atlas_h, atlas_w, BLOCK_CHANNELS), np.float32)
+        for i, b in enumerate(self.blocks):
+            x, y, w, h = rects[i]
+            data[y : y + h, x : x + w] = b
+        atlas = MaterialAtlas(
+            data=jnp.asarray(data.reshape(-1, BLOCK_CHANNELS)),
             width=jnp.asarray(atlas_w, jnp.int32),
-            table=TextureTable(rect=jnp.asarray(rect, jnp.int32)),
         )
+        return atlas, rects
 
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
 
 
-def sample_texture(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray):
-    """Bilinear sample with repeat wrap. tex: [N] i32 handles, uv: [N,2].
+def sample_material_block(atlas: MaterialAtlas, rect: jnp.ndarray,
+                          uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear repeat-wrap fetch of full material blocks.
 
-    Matches SampleLevel(sampler, uv, 0) with a linear-repeat sampler
-    (material.hlsl:150,193-195): texel centers at half-integers, wraparound
-    within each texture's own domain. Cost: 1 rect gather + 4 texel gathers.
+    rect: [N, 4] float or int (x, y, w, h); uv: [N, 2] -> [N, 16].
     """
-    rect = atlas.table.rect[tex]  # [N, 4]
-    x0 = rect[..., 0]
-    y0 = rect[..., 1]
+    x0 = rect[..., 0].astype(jnp.int32)
+    y0 = rect[..., 1].astype(jnp.int32)
     tw = rect[..., 2].astype(jnp.float32)
     th = rect[..., 3].astype(jnp.float32)
 
@@ -122,19 +155,14 @@ def sample_texture(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray):
     fu = (u - iu)[..., None]
     fv = (v - iv)[..., None]
 
-    def wrap(i, n):
-        return jnp.mod(i.astype(jnp.int32), n.astype(jnp.int32))
-
+    wrap = lambda i, n: jnp.mod(i.astype(jnp.int32), n.astype(jnp.int32))
     iu0 = wrap(iu, tw)
     iu1 = wrap(iu + 1, tw)
     iv0 = wrap(iv, th)
     iv1 = wrap(iv + 1, th)
 
     stride = atlas.width
-
-    def fetch(ix, iy):
-        return atlas.data[(y0 + iy) * stride + (x0 + ix)]
-
+    fetch = lambda ix, iy: atlas.data[(y0 + iy) * stride + (x0 + ix)]
     c00 = fetch(iu0, iv0)
     c10 = fetch(iu1, iv0)
     c01 = fetch(iu0, iv1)

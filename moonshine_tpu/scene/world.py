@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..accel import lbvh, wide as wide_bvh
 from ..core import alias_table
 from ..lights.envmap import EnvMap, build_envmap, constant_envmap
-from .textures import AtlasBuilder, TextureAtlas
+from .textures import MaterialAtlas, MaterialBlockBuilder
 from .types import (
     Geometry,
     Glass,
@@ -53,10 +53,10 @@ TYPE_GLASS, TYPE_LAMBERT, TYPE_MIRROR, TYPE_PBR = 0, 1, 2, 3
 
 class MaterialTable(NamedTuple):
     """One packed row per material so a hit decodes with a single gather.
-    Texture handles are stored as f32 (exact below 2^24).
+    Integer fields stored as f32 (exact below 2^24).
 
-    Columns: 0 type, 1 normal_tex, 2 emissive_tex, 3 color_tex,
-    4 metalness_tex, 5 roughness_tex, 6 ior, 7 pad.
+    Columns: 0 type, 1-4 material-block rect (x, y, w, h), 5 ior,
+    6-7 pad.
     """
 
     packed: jnp.ndarray  # [M, 8] f32
@@ -84,7 +84,7 @@ class DeviceScene(NamedTuple):
     # 27 geometry id, 28 primitive id (ids f32-exact below 2^24)
     tri_shade: jnp.ndarray  # [T, 32] f32
     materials: MaterialTable
-    atlas: TextureAtlas
+    mat_atlas: MaterialAtlas
     env: EnvMap
     emitters: EmitterTable
 
@@ -147,8 +147,9 @@ class World:
     # --- freeze ---
 
     def build(self) -> DeviceScene:
-        atlas_builder = AtlasBuilder()
-        mat_table = _build_materials(self.materials, atlas_builder)
+        mat_table, mat_atlas = _build_materials(
+            self.materials, MaterialBlockBuilder()
+        )
 
         verts, normals, uvs, mat_ids, sampled, inst_ids, geo_ids, prim_ids = (
             _flatten_instances(self.meshes, self.materials, self.instances)
@@ -181,12 +182,6 @@ class World:
         else:
             env = build_envmap(self._env_equirect, self._env_size)
 
-        atlas = atlas_builder.build()
-        if len(atlas_builder.images) > self.MAX_TEXTURES:
-            raise ValueError(
-                f"too many textures: {len(atlas_builder.images)} > {self.MAX_TEXTURES}"
-            )
-
         tri_shade = np.zeros((T, 32), np.float32)
         tri_shade[:, 0:9] = verts.reshape(T, 9)
         tri_shade[:, 9:18] = normals.reshape(T, 9)
@@ -204,82 +199,51 @@ class World:
             inv_order=jnp.asarray(inv_order, jnp.int32),
             tri_shade=jnp.asarray(tri_shade),
             materials=mat_table,
-            atlas=atlas,
+            mat_atlas=mat_atlas,
             env=env,
             emitters=emitters,
         )
 
 
-def _tex_handle(builder: AtlasBuilder, source, channels: int) -> int:
-    src = np.asarray(source, np.float32)
-    if src.ndim <= 1:
-        v = src.reshape(-1)
-        if len(v) < channels:
-            v = np.concatenate([np.broadcast_to(v, (channels,))[: channels]])
-        return builder.upload_solid(v[:channels])
-    return builder.upload(src)
-
-
-def _build_materials(materials, builder: AtlasBuilder) -> MaterialTable:
+def _build_materials(materials, builder: MaterialBlockBuilder) -> MaterialTable:
     n = max(len(materials), 1)
     type_ = np.zeros(n, np.int32)
-    normal_tex = np.zeros(n, np.int32)
-    emissive_tex = np.zeros(n, np.int32)
-    color_tex = np.zeros(n, np.int32)
-    metal_tex = np.zeros(n, np.int32)
-    rough_tex = np.zeros(n, np.int32)
     ior = np.full(n, 1.5, np.float32)
 
-    # shared defaults, 1x1 solids (renderParam.hpp default-texture parity)
-    default_normal = builder.upload_solid([0.5, 0.5, 1.0, 1.0])  # -> (0,0,1)
-    default_white = builder.upload_solid([1.0, 1.0, 1.0, 1.0])
-    default_black = builder.upload_solid([0.0, 0.0, 0.0, 1.0])
+    default_normal = (0.5, 0.5)  # decodes to (0,0,1) tangent normal
+    white3 = (1.0, 1.0, 1.0)
+    black3 = (0.0, 0.0, 0.0)
+
+    if not materials:
+        builder.add(white3, 0.0, 1.0, black3, default_normal)
 
     for i, m in enumerate(materials):
-        normal_tex[i] = (
-            default_normal if m.normal is None else _tex_handle(builder, m.normal, 2)
-        )
-        em = np.asarray(m.emissive, np.float32)
-        emissive_tex[i] = (
-            default_black
-            if em.ndim <= 1 and not em.any()
-            else _tex_handle(builder, m.emissive, 3)
-        )
+        normal = default_normal if m.normal is None else m.normal
+        emissive = m.emissive
         v = m.variant
         if isinstance(v, StandardPBR):
             type_[i] = TYPE_PBR
-            color_tex[i] = _tex_handle(builder, v.color, 3)
-            metal_tex[i] = _tex_handle(builder, v.metalness, 1)
-            rough_tex[i] = _tex_handle(builder, v.roughness, 1)
+            builder.add(v.color, v.metalness, v.roughness, emissive, normal)
             ior[i] = v.ior
         elif isinstance(v, Lambert):
             type_[i] = TYPE_LAMBERT
-            color_tex[i] = _tex_handle(builder, v.color, 3)
-            metal_tex[i] = default_black
-            rough_tex[i] = default_white
+            builder.add(v.color, 0.0, 1.0, emissive, normal)
         elif isinstance(v, Glass):
             type_[i] = TYPE_GLASS
             ior[i] = v.ior
-            color_tex[i] = default_white
-            metal_tex[i] = default_black
-            rough_tex[i] = default_white
+            builder.add(white3, 0.0, 1.0, emissive, normal)
         elif isinstance(v, Mirror):
             type_[i] = TYPE_MIRROR
-            color_tex[i] = default_white
-            metal_tex[i] = default_black
-            rough_tex[i] = default_white
+            builder.add(white3, 0.0, 1.0, emissive, normal)
         else:
             raise TypeError(f"unknown material variant {v!r}")
 
+    atlas, rects = builder.build()
     packed = np.zeros((n, 8), np.float32)
     packed[:, 0] = type_
-    packed[:, 1] = normal_tex
-    packed[:, 2] = emissive_tex
-    packed[:, 3] = color_tex
-    packed[:, 4] = metal_tex
-    packed[:, 5] = rough_tex
-    packed[:, 6] = ior
-    return MaterialTable(packed=jnp.asarray(packed))
+    packed[:, 1:5] = rects
+    packed[:, 5] = ior
+    return MaterialTable(packed=jnp.asarray(packed)), atlas
 
 
 def _flatten_instances(meshes, materials, instances):
