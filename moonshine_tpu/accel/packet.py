@@ -2,20 +2,25 @@
 
 Why this shape: XLA-level per-lane traversal (traverse.py) pays ~1 ms per
 while_loop iteration at production ray counts because loop-carried gathers
-serialize — measured ceiling a few Mrays/s. This kernel removes gathers
-entirely: a *block* of 1024 rays (one [8, 128] vreg tile per component)
-shares a single traversal stack in SMEM, so every node/triangle fetch is a
-scalar-indexed row and all intersection math runs as scalar-operand vector
-ops at full VPU width.
+serialize — measured ceiling a few Mrays/s. These kernels remove gathers
+entirely: a *block* of rays (BLOCK lanes as [ROWS, 128] vreg tiles per SoA
+component) shares a single traversal stack in SMEM, so every node/triangle
+fetch is a scalar-indexed 128-float row and all intersection math runs as
+scalar-operand vector ops at full VPU width.
+
+Two residency modes, same logic:
+  * VMEM kernels — scene rows live in VMEM; right up to the ~10 MB budget
+    (~80k triangles). Fastest.
+  * HBM kernels — scene rows stay in HBM; when a child is pushed, its row
+    is DMA'd into a stack-parallel VMEM slot and waited at pop. The ~1 us
+    DMA latency hides behind the previous visit's vector work (tens of us
+    at BLOCK=8192), so multi-million-triangle scenes trace at packet speed.
 
 Divergence trade: a block visits the union of nodes its rays need, so
 coherent blocks (primary rays, sorted bounce rays) traverse near-optimally
 while incoherent blocks degrade gracefully — the classic packet-traversal
 trade, deliberately chosen because the TPU's vector width and the
 block-shared scalar stack fit it perfectly.
-
-Scene tables (WideBVH) live fully in VMEM: ~0.5 KB per 8-wide node row,
-so scenes up to ~1M triangles fit the ~16 MB budget alongside ray tiles.
 """
 
 from __future__ import annotations
@@ -24,31 +29,50 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .traverse import Hit
 from .wide import WideBVH, WIDTH
 
-# Rays per packet. Bigger blocks amortize the per-visit scalar work
-# (stack ops, child-box scalar loads) over more lanes; the vector work is
-# proportional. On a tiny scene the throughput asymptote is ~BLOCK=8192;
-# big incoherent scenes may prefer smaller blocks (divergence) — tune via
+# Rays per packet. Bigger blocks amortize the per-visit scalar work (stack
+# ops, row scalar loads) over more lanes; vector work is proportional. On a
+# small scene throughput saturates around BLOCK=8192; heavily incoherent
+# big scenes may prefer smaller blocks (divergence) — tune via
 # set_block_size.
-BLOCK = 8192
+BLOCK = 8192       # VMEM-path packet width
+HBM_BLOCK = 4096   # HBM-path packet width (bigger unions hurt big scenes)
 ROWS = BLOCK // 128
 STACK_DEPTH = 512
+# the HBM kernel needs one DMA semaphore per stack slot and semaphore
+# memory is ~2KB, so its stack is shallower; traversal pushes at most
+# (WIDTH-1) * depth + 1 entries, checked against the tree depth at dispatch
+HBM_STACK_DEPTH = 256
+_NEG = -1.0e30
+
+# VMEM-resident scene rows must fit next to the ray tiles; beyond this the
+# traversal dispatch switches to the HBM-streaming kernels.
+VMEM_SCENE_BUDGET_BYTES = 10 * 1024 * 1024
 
 
-def set_block_size(block: int) -> None:
-    """Adjust packet width (multiple of 128). Affects future traces."""
-    global BLOCK, ROWS, _ray_spec
+def set_block_size(block: int, hbm_block: int | None = None) -> None:
+    """Adjust packet widths (multiples of 128). Affects future traces."""
+    global BLOCK, ROWS, HBM_BLOCK
     assert block % 128 == 0
     BLOCK = block
     ROWS = block // 128
-    _ray_spec = pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
-                             memory_space=pltpu.VMEM)
-_NEG = -1.0e30
+    if hbm_block is not None:
+        assert hbm_block % 128 == 0
+        HBM_BLOCK = hbm_block
+
+
+def fits_vmem(wbvh: WideBVH) -> bool:
+    total = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in (wbvh.nodes, wbvh.leaves)
+    )
+    return total <= VMEM_SCENE_BUDGET_BYTES
 
 
 def _slab_test(lo, hi, o, inv_d):
@@ -68,7 +92,6 @@ def _slab_test(lo, hi, o, inv_d):
 
 def _moller_trumbore(v0, e1, e2, o, d, t_best):
     """Scalar triangle vs vector rays. Returns (valid, t, u, v)."""
-    # pvec = d x e2 (e2 scalar)
     px = d[1] * e2[2] - d[2] * e2[1]
     py = d[2] * e2[0] - d[0] * e2[2]
     pz = d[0] * e2[1] - d[1] * e2[0]
@@ -78,7 +101,6 @@ def _moller_trumbore(v0, e1, e2, o, d, t_best):
     ty = o[1] - v0[1]
     tz = o[2] - v0[2]
     u = (tx * px + ty * py + tz * pz) * inv_det
-    # qvec = tvec x e1
     qx = ty * e1[2] - tz * e1[1]
     qy = tz * e1[0] - tx * e1[2]
     qz = tx * e1[1] - ty * e1[0]
@@ -107,200 +129,291 @@ def _load_rays(refs):
     return o, d, inv, tmax
 
 
-def _closest_kernel(boxes_ref, ptr_ref, tris_ref, ids_ref,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                    t_ref, tri_ref, u_ref, v_ref,
-                    stack_ref):
-    o, d, inv_d, tmax = _load_rays(
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref)
+def _make_kernel(any_hit: bool, hbm: bool):
+    """One traversal kernel; node/leaf rows come either from whole-scene
+    VMEM arrays or from stack-slot VMEM buffers filled by fetch-on-push
+    DMAs out of HBM."""
+
+    def kernel(nodes_ref, leaves_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               *refs):
+        if hbm:
+            if any_hit:
+                (occ_ref, stack_ref, node_buf, leaf_buf, sems) = refs
+            else:
+                (t_ref, tri_ref, u_ref, v_ref, stack_ref, node_buf,
+                 leaf_buf, sems) = refs
+        else:
+            if any_hit:
+                (occ_ref, stack_ref) = refs
+            else:
+                (t_ref, tri_ref, u_ref, v_ref, stack_ref) = refs
+
+        o, d, inv_d, tmax = _load_rays(
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref)
+        )
+        if any_hit:
+            live0 = tmax > 0.0
+            occ_ref[0] = jnp.zeros_like(occ_ref[0])
+        else:
+            t_ref[0] = tmax
+            tri_ref[0] = jnp.full_like(tri_ref[0], -1)
+            u_ref[0] = jnp.zeros_like(u_ref[0])
+            v_ref[0] = jnp.zeros_like(v_ref[0])
+
+        stack_ref[0] = 0
+
+        def fetch(node):
+            """HBM mode: synchronous row fetch at pop time. One outstanding
+            DMA — coherent packets can push dozens of children back-to-back
+            and fetch-on-push overflows the hardware DMA queue (observed
+            device aborts); the ~1 us stall is small next to the visit's
+            vector work."""
+            @pl.when(node >= 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    nodes_ref.at[jnp.maximum(node, 0)],
+                    node_buf.at[0], sems.at[0],
+                )
+                cp.start()
+                cp.wait()
+
+            @pl.when(node < 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    leaves_ref.at[jnp.maximum(-2 - node, 0)],
+                    leaf_buf.at[0], sems.at[0],
+                )
+                cp.start()
+                cp.wait()
+
+        def cond(carry):
+            if any_hit:
+                top, all_done = carry
+                return (top > 0) & jnp.logical_not(all_done)
+            return carry > 0
+
+        def body(carry):
+            top = carry[0] if any_hit else carry
+            slot = top - 1
+            node = stack_ref[slot]
+            if hbm:
+                fetch(node)
+
+            if any_hit:
+                occluded = occ_ref[0] > 0
+                live = live0 & ~occluded
+                prune = tmax
+            else:
+                prune = t_ref[0]
+
+            def nrow(col):
+                if hbm:
+                    return node_buf[0, col]
+                return nodes_ref[jnp.maximum(node, 0), col]
+
+            def lrow(col):
+                if hbm:
+                    return leaf_buf[0, col]
+                return leaves_ref[jnp.maximum(-2 - node, 0), col]
+
+            def internal(top):
+                # read the whole node row BEFORE any push: in HBM mode the
+                # first pushed child's DMA reuses (overwrites) this slot
+                lo_all = [[nrow(c * 8 + j) for c in range(3)]
+                          for j in range(WIDTH)]
+                hi_all = [[nrow(24 + c * 8 + j) for c in range(3)]
+                          for j in range(WIDTH)]
+                child_all = [nrow(48 + j).astype(jnp.int32)
+                             for j in range(WIDTH)]
+                pushed = jnp.int32(0)
+                base = top - 1
+                for j in range(WIDTH):
+                    child = child_all[j]
+                    tnear, tfar = _slab_test(lo_all[j], hi_all[j], o, inv_d)
+                    hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= prune)
+                    if any_hit:
+                        hit = hit & live
+                    do_push = jnp.any(hit) & (child != -1)
+                    idx = base + pushed
+
+                    @pl.when(do_push)
+                    def _():
+                        stack_ref[idx] = child
+
+                    pushed = pushed + do_push.astype(jnp.int32)
+                return base + pushed
+
+            def leaf(top):
+                if any_hit:
+                    occ = occ_ref[0]
+                else:
+                    t_best_l = t_ref[0]
+                    tri_best = tri_ref[0]
+                    u_best = u_ref[0]
+                    v_best = v_ref[0]
+                for j in range(WIDTH):
+                    v0 = [lrow(c * 8 + j) for c in range(3)]
+                    e1 = [lrow(24 + c * 8 + j) for c in range(3)]
+                    e2 = [lrow(48 + c * 8 + j) for c in range(3)]
+                    tid = lrow(72 + j).astype(jnp.int32)
+                    if any_hit:
+                        valid, t, u, v = _moller_trumbore(
+                            v0, e1, e2, o, d, tmax
+                        )
+                        occ = jnp.maximum(
+                            occ,
+                            (valid & (tid >= 0) & live).astype(jnp.int32),
+                        )
+                    else:
+                        valid, t, u, v = _moller_trumbore(
+                            v0, e1, e2, o, d, t_best_l
+                        )
+                        valid = valid & (tid >= 0)
+                        t_best_l = jnp.where(valid, t, t_best_l)
+                        tri_best = jnp.where(valid, tid, tri_best)
+                        u_best = jnp.where(valid, u, u_best)
+                        v_best = jnp.where(valid, v, v_best)
+                if any_hit:
+                    occ_ref[0] = occ
+                else:
+                    t_ref[0] = t_best_l
+                    tri_ref[0] = tri_best
+                    u_ref[0] = u_best
+                    v_ref[0] = v_best
+                return top - 1
+
+            new_top = jax.lax.cond(node < 0, leaf, internal, top)
+            if any_hit:
+                all_done = jnp.all((occ_ref[0] > 0) | ~live0)
+                return new_top, all_done
+            return new_top
+
+        if any_hit:
+            jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(False)))
+        else:
+            jax.lax.while_loop(cond, body, jnp.int32(1))
+
+    return kernel
+
+
+def _sort_perm(wbvh: WideBVH, ray_o, ray_d):
+    """Coherence key: 4^3 origin cells x 8 direction octants. Sorting rays
+    before packet traversal makes each block's node working set tight —
+    the per-bounce ray-sorting step of the wavefront design."""
+    lo = wbvh.bounds[0]
+    inv_ext = 1.0 / jnp.maximum(wbvh.bounds[1] - lo, 1e-20)
+    cell = jnp.clip(((ray_o - lo) * inv_ext * 4.0).astype(jnp.int32), 0, 3)
+    octant = (
+        (ray_d[:, 0] > 0).astype(jnp.int32) * 4
+        + (ray_d[:, 1] > 0).astype(jnp.int32) * 2
+        + (ray_d[:, 2] > 0).astype(jnp.int32)
     )
-    t_ref[0] = tmax
-    tri_ref[0] = jnp.full_like(tri_ref[0], -1)
-    u_ref[0] = jnp.zeros_like(u_ref[0])
-    v_ref[0] = jnp.zeros_like(v_ref[0])
-
-    stack_ref[0] = 0
-
-    def cond(top):
-        return top > 0
-
-    def body(top):
-        node = stack_ref[top - 1]
-        t_best = t_ref[0]
-
-        def internal(top):
-            n = node
-            pushed = jnp.int32(0)
-            base = top - 1
-            for j in range(WIDTH):
-                lo = [boxes_ref[n, c, j] for c in range(3)]
-                hi = [boxes_ref[n, c + 3, j] for c in range(3)]
-                child = ptr_ref[n, j]
-                tnear, tfar = _slab_test(lo, hi, o, inv_d)
-                hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= t_best)
-                do_push = jnp.any(hit) & (child != -1)
-                idx = base + pushed
-
-                @pl.when(do_push)
-                def _():
-                    stack_ref[idx] = child
-
-                pushed = pushed + do_push.astype(jnp.int32)
-            return base + pushed
-
-        def leaf(top):
-            l = -2 - node
-            t_best_l = t_ref[0]
-            tri_best = tri_ref[0]
-            u_best = u_ref[0]
-            v_best = v_ref[0]
-            for j in range(WIDTH):
-                v0 = [tris_ref[l, c, j] for c in range(3)]
-                e1 = [tris_ref[l, c + 3, j] for c in range(3)]
-                e2 = [tris_ref[l, c + 6, j] for c in range(3)]
-                tid = ids_ref[l, j]
-                valid, t, u, v = _moller_trumbore(v0, e1, e2, o, d, t_best_l)
-                valid = valid & (tid >= 0)
-                t_best_l = jnp.where(valid, t, t_best_l)
-                tri_best = jnp.where(valid, tid, tri_best)
-                u_best = jnp.where(valid, u, u_best)
-                v_best = jnp.where(valid, v, v_best)
-            t_ref[0] = t_best_l
-            tri_ref[0] = tri_best
-            u_ref[0] = u_best
-            v_ref[0] = v_best
-            return top - 1
-
-        return jax.lax.cond(node < 0, leaf, internal, top)
-
-    jax.lax.while_loop(cond, body, jnp.int32(1))
-
-
-def _anyhit_kernel(boxes_ref, ptr_ref, tris_ref, ids_ref,
-                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                   occ_ref, stack_ref):
-    o, d, inv_d, tmax = _load_rays(
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref)
-    )
-    live0 = tmax > 0.0
-    occ_ref[0] = jnp.zeros_like(occ_ref[0])
-    stack_ref[0] = 0
-
-    def cond(carry):
-        top, all_done = carry
-        return (top > 0) & jnp.logical_not(all_done)
-
-    def body(carry):
-        top, _ = carry
-        node = stack_ref[top - 1]
-        occluded = occ_ref[0] > 0
-        live = live0 & ~occluded
-
-        def internal(top):
-            pushed = jnp.int32(0)
-            base = top - 1
-            for j in range(WIDTH):
-                lo = [boxes_ref[node, c, j] for c in range(3)]
-                hi = [boxes_ref[node, c + 3, j] for c in range(3)]
-                child = ptr_ref[node, j]
-                tnear, tfar = _slab_test(lo, hi, o, inv_d)
-                hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= tmax) & live
-                do_push = jnp.any(hit) & (child != -1)
-                idx = base + pushed
-
-                @pl.when(do_push)
-                def _():
-                    stack_ref[idx] = child
-
-                pushed = pushed + do_push.astype(jnp.int32)
-            return base + pushed
-
-        def leaf(top):
-            l = -2 - node
-            occ = occ_ref[0]
-            for j in range(WIDTH):
-                v0 = [tris_ref[l, c, j] for c in range(3)]
-                e1 = [tris_ref[l, c + 3, j] for c in range(3)]
-                e2 = [tris_ref[l, c + 6, j] for c in range(3)]
-                tid = ids_ref[l, j]
-                valid, t, u, v = _moller_trumbore(v0, e1, e2, o, d, tmax)
-                valid = valid & (tid >= 0) & live
-                occ = jnp.maximum(occ, valid.astype(jnp.int32))
-            occ_ref[0] = occ
-            return top - 1
-
-        new_top = jax.lax.cond(node < 0, leaf, internal, top)
-        now_occluded = occ_ref[0] > 0
-        all_done = jnp.all(now_occluded | ~live0)
-        return new_top, all_done
-
-    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(False)))
+    key = ((cell[:, 0] * 4 + cell[:, 1]) * 4 + cell[:, 2]) * 8 + octant
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    return perm, inv
 
 
 def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
-def _prep_rays(ray_o, ray_d, t_max, active):
+def _prep_rays(ray_o, ray_d, t_max, active, block):
     N = ray_o.shape[0]
+    rows = block // 128
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
     if active is not None:
         t_max = jnp.where(active, t_max, _NEG)
-    G = -(-N // BLOCK)
-    pad = G * BLOCK - N
+    G = -(-N // block)
+    pad = G * block - N
 
     comps = [ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
              ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]]
-    comps = [jnp.pad(c, (0, pad)).reshape(G, ROWS, 128) for c in comps]
-    tm = jnp.pad(t_max, (0, pad), constant_values=_NEG).reshape(G, ROWS, 128)
+    comps = [jnp.pad(c, (0, pad)).reshape(G, rows, 128) for c in comps]
+    tm = jnp.pad(t_max, (0, pad), constant_values=_NEG).reshape(G, rows, 128)
     return comps + [tm], G, pad, N
 
 
-_ray_spec = pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM)
+def _ray_spec_for(rows):
+    return pl.BlockSpec((1, rows, 128), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
-def _scene_specs(wbvh: WideBVH):
+def _scene_specs(wbvh: WideBVH, hbm: bool):
+    if hbm:
+        return [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda g: tuple(0 for _ in arr.shape),
         memory_space=pltpu.VMEM,
     )
-    return [full(wbvh.boxes), full(wbvh.ptr), full(wbvh.tris), full(wbvh.ids)]
+    return [full(wbvh.nodes), full(wbvh.leaves)]
+
+
+def _scratch(hbm: bool):
+    if hbm:
+        return [
+            pltpu.SMEM((HBM_STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),  # current node row
+            pltpu.VMEM((1, 128), jnp.float32),  # current leaf row
+            pltpu.SemaphoreType.DMA((1,)),
+        ]
+    return [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+
+
+def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
+    # interpret mode (CPU tests/dryruns) pays per-lane python/XLA-CPU cost;
+    # keep its blocks small
+    block = 1024 if interpret else (HBM_BLOCK if hbm else BLOCK)
+    rows = block // 128
+    rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in, block)
+    out_shapes = [
+        jax.ShapeDtypeStruct((G, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, rows, 128), jnp.float32),
+    ]
+    out_spec = _ray_spec_for(rows)
+    t, tri, u, v = pl.pallas_call(
+        _make_kernel(any_hit=False, hbm=hbm),
+        grid=(G,),
+        in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
+        out_specs=[out_spec] * 4,
+        out_shape=out_shapes,
+        scratch_shapes=_scratch(hbm),
+        interpret=interpret,
+    )(wbvh.nodes, wbvh.leaves, *rays)
+    flat = lambda x: x.reshape(-1)[:N]
+    tmax_orig = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    tri = flat(tri)
+    t = jnp.where(tri >= 0, flat(t), tmax_orig)
+    return Hit(t=t, tri=tri, u=flat(u), v=flat(v))
+
+
+def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
+    block = 1024 if interpret else (HBM_BLOCK if hbm else BLOCK)
+    rows = block // 128
+    rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in, block)
+    occ = pl.pallas_call(
+        _make_kernel(any_hit=True, hbm=hbm),
+        grid=(G,),
+        in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
+        out_specs=_ray_spec_for(rows),
+        out_shape=jax.ShapeDtypeStruct((G, rows, 128), jnp.int32),
+        scratch_shapes=_scratch(hbm),
+        interpret=interpret,
+    )(wbvh.nodes, wbvh.leaves, *rays)
+    return occ.reshape(-1)[:N] > 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def closest_hit_packet(wbvh: WideBVH, ray_o, ray_d, t_max,
                        active_in=None, interpret: bool | None = None) -> Hit:
-    """Drop-in packet replacement for traverse.closest_hit."""
+    """Drop-in packet replacement for traverse.closest_hit (VMEM scene)."""
     if interpret is None:
         interpret = _use_interpret()
-    rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in)
-
-    out_shapes = [
-        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.float32),
-        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
-        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.float32),
-        jax.ShapeDtypeStruct((G, ROWS, 128), jnp.float32),
-    ]
-    out_spec = pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
-                            memory_space=pltpu.VMEM)
-    t, tri, u, v = pl.pallas_call(
-        _closest_kernel,
-        grid=(G,),
-        in_specs=_scene_specs(wbvh) + [_ray_spec] * 7,
-        out_specs=[out_spec] * 4,
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(wbvh.boxes, wbvh.ptr, wbvh.tris, wbvh.ids, *rays)
-
-    flat = lambda x: x.reshape(-1)[:N]
-    t = flat(t)
-    # inactive/padded lanes carry the _NEG sentinel; report a clean miss
-    tmax_orig = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
-    tri = flat(tri)
-    t = jnp.where(tri >= 0, t, tmax_orig)
-    return Hit(t=t, tri=tri, u=flat(u), v=flat(v))
+    return _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret,
+                         hbm=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -308,15 +421,47 @@ def any_hit_packet(wbvh: WideBVH, ray_o, ray_d, t_max,
                    active_in=None, interpret: bool | None = None):
     if interpret is None:
         interpret = _use_interpret()
-    rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in)
-    occ = pl.pallas_call(
-        _anyhit_kernel,
-        grid=(G,),
-        in_specs=_scene_specs(wbvh) + [_ray_spec] * 7,
-        out_specs=pl.BlockSpec((1, ROWS, 128), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(wbvh.boxes, wbvh.ptr, wbvh.tris, wbvh.ids, *rays)
-    return occ.reshape(-1)[:N] > 0
+    return _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret,
+                        hbm=False)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_hit_packet_hbm(wbvh: WideBVH, ray_o, ray_d, t_max,
+                           active_in=None, interpret: bool | None = None) -> Hit:
+    """HBM-streaming variant for scenes beyond the VMEM budget. Rays are
+    coherence-sorted first: big scenes live or die by the block working
+    set."""
+    if interpret is None:
+        interpret = _use_interpret()
+    if interpret:
+        # interpret mode has no DMA engine; logic is identical anyway
+        return _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, True,
+                             hbm=False)
+    perm, inv = _sort_perm(wbvh, ray_o, ray_d)
+    active_p = None if active_in is None else active_in[perm]
+    t_max_p = (
+        t_max if jnp.ndim(t_max) == 0
+        else jnp.asarray(t_max, jnp.float32)[perm]
+    )
+    hit = _closest_impl(wbvh, ray_o[perm], ray_d[perm], t_max_p, active_p,
+                        False, hbm=True)
+    return Hit(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv], v=hit.v[inv])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def any_hit_packet_hbm(wbvh: WideBVH, ray_o, ray_d, t_max,
+                       active_in=None, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _use_interpret()
+    if interpret:
+        return _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, True,
+                            hbm=False)
+    perm, inv = _sort_perm(wbvh, ray_o, ray_d)
+    active_p = None if active_in is None else active_in[perm]
+    t_max_p = (
+        t_max if jnp.ndim(t_max) == 0
+        else jnp.asarray(t_max, jnp.float32)[perm]
+    )
+    occ = _anyhit_impl(wbvh, ray_o[perm], ray_d[perm], t_max_p, active_p,
+                       False, hbm=True)
+    return occ[inv]

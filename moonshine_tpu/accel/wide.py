@@ -1,10 +1,17 @@
 """8-wide BVH for packet traversal.
 
 Collapses the binary Karras tree (lbvh.py) into 8-ary nodes: each wide node
-repeatedly expands its largest-count binary child until it has up to 8
-children; children covering <= 8 triangles become fat leaves holding fully
-unpacked triangle data (v0, e1, e2 per slot) so the traversal kernel never
-chases a vertex indirection.
+repeatedly splits its largest-count child until it has up to 8 children;
+children covering <= 8 triangles become fat leaves holding fully unpacked
+triangle data (v0, e1, e2 per slot) so the traversal kernel never chases a
+vertex indirection.
+
+The build is fully vectorized (no Python recursion): every binary radix-tree
+node covers a *contiguous range* of the Morton-sorted triangle order, so
+triangle counts and range starts propagate in depth-bounded bottom-up
+passes, wide nodes expand breadth-first as flat [frontier, 8] arrays, and
+leaves gather their triangles straight from the sorted order. A 1M-triangle
+build is seconds, not minutes.
 
 Layout is chosen for the Pallas packet kernel (packet.py): a ray *block*
 shares one traversal stack, so node/leaf fetches are scalar-indexed rows —
@@ -33,10 +40,21 @@ WIDTH = 8
 
 
 class WideBVH(NamedTuple):
-    boxes: jnp.ndarray  # [M, 6, 8] f32
-    ptr: jnp.ndarray  # [M, 8] i32
-    tris: jnp.ndarray  # [L, 9, 8] f32
-    ids: jnp.ndarray  # [L, 8] i32
+    """Node/leaf records are single 128-float rows so one aligned DMA (or
+    one VMEM row) fetches a whole visit:
+
+      nodes[m]:  cols c*8+j (c<6) = child-box component c of slot j
+                 (lox,loy,loz,hix,hiy,hiz); cols 48+j = child pointer,
+                 f32-encoded (>= 0 wide node, -1 empty, <= -2 leaf ~ptr)
+      leaves[l]: cols c*8+j (c<9) = triangle component c of slot j
+                 (v0,e1,e2); cols 72+j = original tri id (f32, -1 empty)
+
+    f32 encoding of ids is exact below 2^24 — a 16M-triangle/node cap.
+    """
+
+    nodes: jnp.ndarray  # [M, 128] f32
+    leaves: jnp.ndarray  # [L, 128] f32
+    bounds: jnp.ndarray  # [2, 3] f32 scene AABB (for ray-sort keys)
     num_nodes: int
     num_leaves: int
     num_tris: int
@@ -45,122 +63,169 @@ class WideBVH(NamedTuple):
 def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH:
     """tri_verts: [T, 3, 3] world space."""
     tri_verts = np.asarray(tri_verts, np.float32)
+    T = len(tri_verts)
     if binary is None:
         binary = lbvh.build(tri_verts, leaf_size=4, pad_nodes_to_pow2=False)
 
-    b_left = np.asarray(binary.left)
-    b_count = np.asarray(binary.count)
-    b_escape = np.asarray(binary.escape)
+    b_left = np.asarray(binary.left).astype(np.int64)
+    b_count = np.asarray(binary.count).astype(np.int64)
+    b_escape = np.asarray(binary.escape).astype(np.int64)
     b_min = np.asarray(binary.aabb_min)
     b_max = np.asarray(binary.aabb_max)
     order = np.asarray(binary.tri_order)
 
-    def bin_children(i):
-        l = b_left[i]
-        r = b_escape[l]
-        return int(l), int(r)
-
-    # triangle count per binary node, bottom-up in depth-bounded passes
     M = binary.num_nodes
     is_leaf = b_count > 0
-    internal = ~is_leaf
-    counts_memo = np.where(is_leaf, b_count, 0).astype(np.int64)
-    li_all = np.clip(b_left, 0, M - 1)
-    ri_all = np.clip(b_escape[li_all], 0, M - 1)
+    li_all = np.clip(b_left, 0, M - 1)  # left child (internal nodes)
+    ri_all = np.clip(b_escape[li_all], 0, M - 1)  # right = escape(left)
+
+    # triangle count + sorted-range start per binary node, bottom-up in
+    # depth-bounded passes (64-bit build keys bound the depth)
+    counts = np.where(is_leaf, b_count, 0)
+    starts = np.where(is_leaf, b_left, -1)  # leaf: offset into sorted order
     for _ in range(70):
-        ready = internal & (counts_memo == 0)
+        ready = ~is_leaf & (counts == 0)
         if not ready.any():
             break
-        child_sum = counts_memo[li_all] + counts_memo[ri_all]
-        upd = ready & (counts_memo[li_all] > 0) & (counts_memo[ri_all] > 0)
-        counts_memo[upd] = child_sum[upd]
-    assert (counts_memo > 0).all(), "wide-BVH count propagation failed"
+        ok = ready & (counts[li_all] > 0) & (counts[ri_all] > 0)
+        counts[ok] = (counts[li_all] + counts[ri_all])[ok]
+        starts[ok] = np.minimum(starts[li_all], starts[ri_all])[ok]
+    assert (counts > 0).all(), "wide-BVH count propagation failed"
 
-    boxes_out: list[np.ndarray] = []
-    ptr_out: list[np.ndarray] = []
-    leaf_tris: list[np.ndarray] = []
-    leaf_ids: list[np.ndarray] = []
+    # --- breadth-first expansion over flat frontiers ---
+    # slots[f, j] = binary node id or -1
+    EMPTY = np.int64(-1)
+    frontier = np.asarray([[0] + [-1] * (WIDTH - 1)], np.int64)
+    if T <= LEAF_CAP and is_leaf[0]:
+        # single-leaf degenerate scene
+        frontier = frontier  # root stays, handled below
 
-    def make_leaf(bin_node: int) -> int:
-        """Collect the (<= LEAF_CAP) triangles under a binary node."""
-        tris = []
-        stack = [bin_node]
-        while stack:
-            n = stack.pop()
-            if b_count[n] > 0:
-                for k in range(b_count[n]):
-                    tris.append(int(order[b_left[n] + k]))
-            else:
-                l, r = bin_children(n)
-                stack += [l, r]
-        assert len(tris) <= LEAF_CAP
-        data = np.zeros((9, WIDTH), np.float32)
-        ids = np.full(WIDTH, -1, np.int32)
-        for j, t in enumerate(tris):
-            v = tri_verts[t]
-            data[0:3, j] = v[0]
-            data[3:6, j] = v[1] - v[0]
-            data[6:9, j] = v[2] - v[0]
-            ids[j] = t
-        leaf_tris.append(data)
-        leaf_ids.append(ids)
-        return len(leaf_tris) - 1
+    all_rows = []  # (slots [F,8]) per level
+    wide_offsets = []  # running wide-node index offset per level
+    total_wide = 0
 
-    def node_box(i):
-        return b_min[i], b_max[i]
-
-    def make_wide(bin_node: int) -> int:
-        """Convert the subtree at a binary node into a wide node; returns
-        its index (reserved before recursion so the root is node 0)."""
-        my_idx = len(ptr_out)
-        boxes_out.append(np.zeros((6, WIDTH), np.float32))
-        ptr_out.append(np.full(WIDTH, -1, np.int32))
-
-        # expand: replace the child with the most triangles by its two
-        # binary children until we have 8 or no internal node can split
-        children = [bin_node]
-        while len(children) < WIDTH:
-            best, best_n = -1, -1
-            for ci, c in enumerate(children):
-                if b_count[c] == 0 and counts_memo[c] > LEAF_CAP:
-                    if counts_memo[c] > best_n:
-                        best, best_n = ci, counts_memo[c]
-            if best < 0:
-                # all children fit leaves; if only one child and it's
-                # internal, still split once to avoid 1-child nodes
-                if len(children) == 1 and b_count[children[0]] == 0:
-                    l, r = bin_children(children[0])
-                    children = [l, r]
-                    continue
+    while len(frontier):
+        slots = frontier.copy()
+        # expand: repeatedly split the largest splittable slot per row
+        for _ in range(WIDTH - 1):
+            valid = slots >= 0
+            cnt = np.where(valid, counts[np.clip(slots, 0, M - 1)], -1)
+            splittable = valid & ~is_leaf[np.clip(slots, 0, M - 1)] & (cnt > LEAF_CAP)
+            has_free = (~valid).sum(axis=1) > 0
+            cand = np.where(splittable, cnt, -1)
+            best = cand.argmax(axis=1)
+            rows = np.nonzero(has_free & (cand[np.arange(len(slots)), best] > 0))[0]
+            if len(rows) == 0:
                 break
-            l, r = bin_children(children[best])
-            children[best : best + 1] = [l, r]
+            bcol = best[rows]
+            node = slots[rows, bcol]
+            lchild = li_all[node]
+            rchild = ri_all[node]
+            # left replaces the slot; right goes into the first free slot
+            slots[rows, bcol] = lchild
+            free_col = np.argmin(slots[rows] >= 0, axis=1)  # first False
+            slots[rows, free_col] = rchild
+        # rows with a single internal child > LEAF_CAP that couldn't split
+        # (full slots) are fine: that child becomes a child wide node.
+        all_rows.append(slots)
+        # children that stay internal (count > LEAF_CAP) spawn next frontier
+        valid = slots >= 0
+        child_internal = valid & (counts[np.clip(slots, 0, M - 1)] > LEAF_CAP)
+        next_nodes = slots[child_internal]
+        frontier = (
+            np.concatenate(
+                [next_nodes[:, None],
+                 np.full((len(next_nodes), WIDTH - 1), EMPTY)], axis=1
+            )
+            if len(next_nodes)
+            else np.zeros((0, WIDTH), np.int64)
+        )
+        wide_offsets.append(total_wide)
+        total_wide += len(slots)
 
-        for j, c in enumerate(children):
-            lo, hi = node_box(c)
-            boxes_out[my_idx][0:3, j] = lo
-            boxes_out[my_idx][3:6, j] = hi
-            if counts_memo[c] <= LEAF_CAP:
-                ptr_out[my_idx][j] = -2 - make_leaf(c)
-            else:
-                ptr_out[my_idx][j] = make_wide(c)
-        return my_idx
+    slots_all = np.concatenate(all_rows, axis=0)  # [W, 8] binary ids
+    W = len(slots_all)
+    valid = slots_all >= 0
+    sl = np.clip(slots_all, 0, M - 1)
+    child_internal = valid & (counts[sl] > LEAF_CAP)
+    child_leaf = valid & ~child_internal
 
-    import sys
+    # wide-node ids for internal children: they are exactly the next-level
+    # frontier rows, laid out in row-major traversal order of child_internal
+    ptr = np.full((W, WIDTH), -1, np.int64)
+    internal_order = np.cumsum(child_internal.reshape(-1)) - 1
+    internal_order = internal_order.reshape(W, WIDTH)
+    # offset: children of level k live at level k+1's base
+    level_sizes = [len(r) for r in all_rows]
+    level_of_row = np.repeat(np.arange(len(all_rows)), level_sizes)
+    # base wide-id of the next level for each row
+    next_base = np.zeros(len(all_rows), np.int64)
+    acc = 0
+    for k in range(len(all_rows)):
+        acc += level_sizes[k]
+        next_base[k] = acc
+    # number of internal children before each level
+    int_before = np.zeros(len(all_rows) + 1, np.int64)
+    row_starts = np.cumsum([0] + level_sizes)
+    flat_int = child_internal.reshape(-1)
+    for k in range(len(all_rows)):
+        int_before[k + 1] = int_before[k] + child_internal[
+            row_starts[k] : row_starts[k + 1]
+        ].sum()
+    child_wide_id = (
+        next_base[level_of_row][:, None]
+        + internal_order
+        - int_before[level_of_row][:, None]
+    )
+    ptr[child_internal] = child_wide_id[child_internal]
 
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 100000))
-    try:
-        make_wide(0)
-    finally:
-        sys.setrecursionlimit(old_limit)
+    # leaves: one per leaf child, numbered in flat order
+    leaf_order = np.cumsum(child_leaf.reshape(-1)) - 1
+    leaf_order = leaf_order.reshape(W, WIDTH)
+    n_leaves = int(child_leaf.sum())
+    ptr[child_leaf] = -2 - leaf_order[child_leaf]
 
+    # node rows: boxes from binary AABBs + f32-encoded child pointers
+    assert W < (1 << 24) and T < (1 << 24), "f32 id encoding cap exceeded"
+    nodes = np.zeros((W, 128), np.float32)
+    nodes[:, 0:24] = np.where(
+        valid[:, None, :], b_min[sl].transpose(0, 2, 1), 0.0
+    ).reshape(W, 24)
+    nodes[:, 24:48] = np.where(
+        valid[:, None, :], b_max[sl].transpose(0, 2, 1), 0.0
+    ).reshape(W, 24)
+    nodes[:, 48:56] = ptr.astype(np.float32)
+
+    # leaf rows: each leaf child covers sorted range [start, start+count)
+    leaf_nodes = slots_all[child_leaf]
+    leaf_starts = starts[leaf_nodes]
+    leaf_counts = counts[leaf_nodes]
+    tri_idx = leaf_starts[:, None] + np.arange(LEAF_CAP)[None, :]
+    in_range = np.arange(LEAF_CAP)[None, :] < leaf_counts[:, None]
+    tri_idx = np.clip(tri_idx, 0, T - 1)
+    orig = order[tri_idx]  # [L, 8] original triangle ids
+    v = tri_verts[orig]  # [L, 8, 3, 3]
+    leaves = np.zeros((max(n_leaves, 1), 128), np.float32)
+    if n_leaves:
+        data = np.zeros((n_leaves, 9, WIDTH), np.float32)
+        data[:, 0:3, :] = v[:, :, 0].transpose(0, 2, 1)
+        data[:, 3:6, :] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
+        data[:, 6:9, :] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
+        # zero padding slots so degenerate tris never hit
+        data *= in_range[:, None, :]
+        leaves[:, 0:72] = data.reshape(n_leaves, 72)
+        leaves[:, 72:80] = np.where(in_range, orig, -1).astype(np.float32)
+    else:
+        leaves[:, 72:80] = -1.0
+
+    bounds = np.stack(
+        [tri_verts.min(axis=(0, 1)), tri_verts.max(axis=(0, 1))]
+    ).astype(np.float32)
     return WideBVH(
-        boxes=jnp.asarray(np.stack(boxes_out)),
-        ptr=jnp.asarray(np.stack(ptr_out)),
-        tris=jnp.asarray(np.stack(leaf_tris)),
-        ids=jnp.asarray(np.stack(leaf_ids)),
-        num_nodes=len(ptr_out),
-        num_leaves=len(leaf_tris),
-        num_tris=len(tri_verts),
+        nodes=jnp.asarray(nodes),
+        leaves=jnp.asarray(leaves),
+        bounds=jnp.asarray(bounds),
+        num_nodes=W,
+        num_leaves=max(n_leaves, 1),
+        num_tris=T,
     )

@@ -176,18 +176,25 @@ def _emissive_at(scene, tri, bary):
 
 
 def _closest(scene, o, d, t_max, active):
-    """Traversal dispatch: Pallas packet kernel when the scene carries a
-    wide BVH, lockstep jnp while_loop otherwise."""
-    if getattr(scene, "wide", None) is not None:
-        return packet.closest_hit_packet(scene.wide, o, d, t_max, active_in=active)
+    """Traversal dispatch: VMEM packet kernel for small scenes, the
+    HBM-streaming packet kernel beyond the VMEM budget, and the jnp
+    while_loop fallback when no wide BVH exists."""
+    wide = getattr(scene, "wide", None)
+    if wide is not None:
+        if packet.fits_vmem(wide):
+            return packet.closest_hit_packet(wide, o, d, t_max, active_in=active)
+        return packet.closest_hit_packet_hbm(wide, o, d, t_max, active_in=active)
     return traverse.closest_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
 
 
 def _any_hit(scene, o, d, t_max, active):
-    if getattr(scene, "wide", None) is not None:
-        return packet.any_hit_packet(scene.wide, o, d, t_max, active_in=active)
+    wide = getattr(scene, "wide", None)
+    if wide is not None:
+        if packet.fits_vmem(wide):
+            return packet.any_hit_packet(wide, o, d, t_max, active_in=active)
+        return packet.any_hit_packet_hbm(wide, o, d, t_max, active_in=active)
     return traverse.any_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )

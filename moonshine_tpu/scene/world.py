@@ -170,7 +170,9 @@ class World:
             T = 1
 
         bvh = lbvh.build(verts)
-        wide = wide_bvh.build_wide(verts)
+        # small scenes traverse from VMEM, big ones stream rows from HBM —
+        # the dispatch in integrator.path picks per scene size
+        wide = wide_bvh.build_wide(verts, binary=bvh)
         order = np.asarray(bvh.tri_order)
         inv_order = np.empty(T, np.int64)
         inv_order[order] = np.arange(T)

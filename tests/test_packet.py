@@ -14,18 +14,26 @@ def oracle(tris, o, d, t_max=1e12):
     return traverse.brute_force_closest(jnp.asarray(tris), o, d, t_max)
 
 
+def wide_ids(w):
+    return np.asarray(w.leaves[:, 72:80]).astype(np.int64).reshape(-1)
+
+
+def wide_ptr(w):
+    return np.asarray(w.nodes[:, 48:56]).astype(np.int64)
+
+
 class TestWideBuild:
     def test_leaves_cover_all_tris(self):
         tris = random_tris(333, seed=1)
         w = wide.build_wide(tris)
-        ids = np.asarray(w.ids).reshape(-1)
+        ids = wide_ids(w)
         ids = ids[ids >= 0]
         assert sorted(ids.tolist()) == list(range(333))
 
     def test_child_pointers_valid(self):
         tris = random_tris(500, seed=2)
         w = wide.build_wide(tris)
-        ptr = np.asarray(w.ptr)
+        ptr = wide_ptr(w)
         internal = ptr[ptr >= 0]
         leaves = ptr[ptr <= -2]
         assert (internal < w.num_nodes).all()
@@ -91,12 +99,26 @@ class TestPacketTraversal:
     def test_nonmultiple_block_size(self):
         tris = random_tris(64, seed=12)
         w = wide.build_wide(tris)
-        o, d = random_rays(1500, seed=13)  # not a multiple of 1024
+        o, d = random_rays(1500, seed=13)  # not a multiple of BLOCK
         got = packet.closest_hit_packet(w, o, d, 1e12)
         want = oracle(tris, o, d)
         np.testing.assert_array_equal(
             np.asarray(got.is_hit), np.asarray(want.is_hit)
         )
+
+    def test_hbm_variant_matches(self):
+        # in interpret mode the HBM wrapper routes through the same logic;
+        # real-DMA coverage is exercised by the TPU benchmarks
+        tris = random_tris(300, seed=14)
+        w = wide.build_wide(tris)
+        o, d = random_rays(512, seed=15)
+        got = packet.closest_hit_packet_hbm(w, o, d, 1e12)
+        want = oracle(tris, o, d)
+        np.testing.assert_array_equal(
+            np.asarray(got.is_hit), np.asarray(want.is_hit)
+        )
+        occ = packet.any_hit_packet_hbm(w, o, d, 1e12)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
 
 
 if __name__ == "__main__":
