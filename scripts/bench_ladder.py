@@ -1,0 +1,137 @@
+"""Config-ladder benchmark (BASELINE.md): runs each rung on the attached
+chip and prints a table + JSON lines. The driver's bench.py stays the
+single-line flagship metric; this is the detailed view.
+
+Usage: python scripts/bench_ladder.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_rung(name, scene, lens, size, spp, cfg):
+    import jax.numpy as jnp
+    from moonshine_tpu.render.camera import LensArrays
+    from moonshine_tpu.render.renderer import render_sample
+
+    la = LensArrays.from_lens(lens)
+    h, w = size
+    # compile + warmup
+    img, rays = render_sample(scene, la, h, w, jnp.asarray(0, jnp.uint32), cfg)
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for s in range(1, spp + 1):
+        img, rays = render_sample(
+            scene, la, h, w, jnp.asarray(s, jnp.uint32), cfg
+        )
+        total_rays += float(rays)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    result = {
+        "rung": name,
+        "tris": scene.num_tris,
+        "resolution": f"{w}x{h}",
+        "spp_timed": spp,
+        "mrays_per_sec": round(total_rays / dt / 1e6, 3),
+        "spp_per_sec": round(spp / dt, 3),
+        "seconds_per_spp": round(dt / spp, 4),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+    spp = 2 if args.quick else 6
+
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root))
+    sys.path.insert(0, str(root / "tests"))
+    from fixtures import icosphere
+    from glb_builder import cornell_box_glb
+    from moonshine_tpu.integrator import PathConfig
+    from moonshine_tpu.scene import gltf
+    from moonshine_tpu.scene.procedural import room_scene
+    from moonshine_tpu.scene.types import (
+        Geometry, Glass, Instance, Lambert, Lens, MaterialInfo, Mirror,
+        identity_transform, translate,
+    )
+    from moonshine_tpu.scene.world import World
+
+    results = []
+
+    # 1. furnace
+    w = World()
+    mesh = w.add_mesh(icosphere(3, with_normals=False))
+    mat = w.add_material(MaterialInfo(variant=Lambert(color=(1, 1, 1))))
+    w.add_instance(Instance(transform=identity_transform(),
+                            geometries=[Geometry(mesh, mat)]))
+    w.set_background(None)
+    lens = Lens(origin=np.float32([0, -3, 0]), forward=np.float32([0, 1, 0]),
+                up=np.float32([0, 0, 1]), vfov=np.pi / 4)
+    results.append(run_rung(
+        "furnace", w.build(), lens, (256, 256), spp,
+        PathConfig(max_bounces=16, env_samples_per_bounce=0,
+                   mesh_samples_per_bounce=0, unroll=False),
+    ))
+
+    # 2. cornell box (NEE + MIS)
+    world = gltf.world_from_glb(cornell_box_glb())
+    world.set_background(np.zeros((4, 8, 3), np.float32))
+    clens = gltf.lens_from_glb(cornell_box_glb())
+    results.append(run_rung(
+        "cornell", world.build(), clens, (512, 512), spp,
+        PathConfig(max_bounces=4, env_samples_per_bounce=0,
+                   mesh_samples_per_bounce=1),
+    ))
+
+    # 3. mirror + glass spheres under an HDR gradient env
+    w = World()
+    sphere = w.add_mesh(icosphere(4))
+    floor = w.add_mesh(__import__("moonshine_tpu.scene.types", fromlist=["Mesh"]).Mesh(
+        positions=np.float32([[-20, -20, -1], [20, -20, -1], [20, 20, -1], [-20, 20, -1]]),
+        indices=np.uint32([[0, 1, 2], [0, 2, 3]])))
+    mats = [w.add_material(MaterialInfo(variant=Mirror())),
+            w.add_material(MaterialInfo(variant=Glass(ior=1.5))),
+            w.add_material(MaterialInfo(variant=Lambert(color=(0.6, 0.6, 0.6))))]
+    for x, m in [(-1.5, 0), (1.5, 1)]:
+        w.add_instance(Instance(transform=translate(x, 0, 0),
+                                geometries=[Geometry(sphere, mats[m])]))
+    w.add_instance(Instance(transform=identity_transform(),
+                            geometries=[Geometry(floor, mats[2])]))
+    sky = np.zeros((64, 128, 3), np.float32)
+    sky[:, :, :] = 0.2
+    sky[8:16, 20:40] = 12.0  # bright "sun" patch: alias-table stress
+    w.set_background(sky, size=64)
+    results.append(run_rung(
+        "mirror_glass", w.build(), lens, (512, 512), spp,
+        PathConfig(max_bounces=8, env_samples_per_bounce=1,
+                   mesh_samples_per_bounce=0),
+    ))
+
+    # 4. big interior (Salle-de-bain-class stand-in)
+    world, rlens = room_scene(grid=6, subdivisions=4)
+    results.append(run_rung(
+        "room_184k", world.build(), rlens, (512, 512), max(spp // 2, 1),
+        PathConfig(max_bounces=4, env_samples_per_bounce=1,
+                   mesh_samples_per_bounce=1),
+    ))
+
+    print("\nrung            tris      Mrays/s   spp/s @res")
+    for r in results:
+        print(f"{r['rung']:<15} {r['tris']:>8} {r['mrays_per_sec']:>8.2f}"
+              f" {r['spp_per_sec']:>8.2f} @{r['resolution']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
