@@ -22,7 +22,7 @@ def main():
     from __graft_entry__ import _flagship_scene
     from moonshine_tpu.integrator.path import PathConfig
     from moonshine_tpu.render.camera import LensArrays
-    from moonshine_tpu.render.renderer import render_sample
+    from moonshine_tpu.render.renderer import render_spp
 
     scene, lens = _flagship_scene()
     lens_arrays = LensArrays.from_lens(lens)
@@ -30,28 +30,23 @@ def main():
     cfg = PathConfig(
         max_bounces=4, env_samples_per_bounce=1, mesh_samples_per_bounce=1
     )
+    n_samples = 8
 
-    def step(sample_index):
-        return render_sample(
-            scene, lens_arrays, H, W, jnp.asarray(sample_index, jnp.uint32), cfg
-        )
+    def run(start):
+        # one device dispatch for all spp — the per-sample host round-trip
+        # over the device tunnel would otherwise dominate the measurement
+        return render_spp(scene, lens_arrays, H, W, start, n_samples, cfg)
 
     # warmup + compile
-    img, rays = step(0)
-    img.block_until_ready()
+    acc, rays = run(0)
+    acc.block_until_ready()
 
-    n_samples = 8
     t0 = time.perf_counter()
-    total_rays = 0.0
-    acc = None
-    for s in range(1, n_samples + 1):
-        img, rays = step(s)
-        total_rays += float(rays)
-        acc = img if acc is None else acc + img
+    acc, total_rays = run(n_samples)
     acc.block_until_ready()
     elapsed = time.perf_counter() - t0
 
-    mrays = total_rays / elapsed / 1e6
+    mrays = float(total_rays) / elapsed / 1e6
     result = {
         "metric": "Mrays/sec/chip",
         "value": round(mrays, 3),

@@ -297,10 +297,13 @@ def _make_kernel(any_hit: bool, hbm: bool):
     return kernel
 
 
-def _sort_perm(wbvh: WideBVH, ray_o, ray_d):
-    """Coherence key: 4^3 origin cells x 8 direction octants. Sorting rays
-    before packet traversal makes each block's node working set tight —
-    the per-bounce ray-sorting step of the wavefront design."""
+def _sort_perm(wbvh: WideBVH, ray_o, ray_d, active=None):
+    """Coherence key: 4^3 origin cells x 8 direction octants; dead lanes
+    sort to the end. Sorting rays before packet traversal makes each block's
+    node working set tight, and — since inactive lanes carry tmax<0 and a
+    fully-dead block exits after its root visit — packs the (often large)
+    dead fraction of a bounce/shadow batch into blocks that cost ~nothing.
+    This is the wavefront design's per-bounce compaction + sorting step."""
     lo = wbvh.bounds[0]
     inv_ext = 1.0 / jnp.maximum(wbvh.bounds[1] - lo, 1e-20)
     cell = jnp.clip(((ray_o - lo) * inv_ext * 4.0).astype(jnp.int32), 0, 3)
@@ -310,9 +313,28 @@ def _sort_perm(wbvh: WideBVH, ray_o, ray_d):
         + (ray_d[:, 2] > 0).astype(jnp.int32)
     )
     key = ((cell[:, 0] * 4 + cell[:, 1]) * 4 + cell[:, 2]) * 8 + octant
+    if active is not None:
+        key = jnp.where(active, key, jnp.int32(1 << 20))
     perm = jnp.argsort(key)
     inv = jnp.argsort(perm)
     return perm, inv
+
+
+def _sorted_dispatch(impl, wbvh, ray_o, ray_d, t_max, active_in, interpret,
+                     hbm):
+    """Run a traversal impl on compaction-sorted rays, unsorting results."""
+    perm, inv = _sort_perm(wbvh, ray_o, ray_d, active_in)
+    active_p = None if active_in is None else active_in[perm]
+    t_max_p = (
+        t_max if jnp.ndim(t_max) == 0
+        else jnp.asarray(t_max, jnp.float32)[perm]
+    )
+    out = impl(wbvh, ray_o[perm], ray_d[perm], t_max_p, active_p,
+               interpret, hbm)
+    if isinstance(out, Hit):
+        return Hit(t=out.t[inv], tri=out.tri[inv], u=out.u[inv],
+                   v=out.v[inv])
+    return out[inv]
 
 
 def _use_interpret():
@@ -406,21 +428,33 @@ def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
     return occ.reshape(-1)[:N] > 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sort"))
 def closest_hit_packet(wbvh: WideBVH, ray_o, ray_d, t_max,
-                       active_in=None, interpret: bool | None = None) -> Hit:
-    """Drop-in packet replacement for traverse.closest_hit (VMEM scene)."""
+                       active_in=None, interpret: bool | None = None,
+                       sort: bool = False) -> Hit:
+    """Drop-in packet replacement for traverse.closest_hit (VMEM scene).
+
+    sort=True compaction-sorts the batch first (see _sort_perm) — use it
+    for bounce/shadow batches where many lanes are dead or incoherent;
+    primary rays are already scanline-coherent and fully live."""
     if interpret is None:
         interpret = _use_interpret()
+    if sort and not interpret:
+        return _sorted_dispatch(_closest_impl, wbvh, ray_o, ray_d, t_max,
+                                active_in, interpret, hbm=False)
     return _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret,
                          hbm=False)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sort"))
 def any_hit_packet(wbvh: WideBVH, ray_o, ray_d, t_max,
-                   active_in=None, interpret: bool | None = None):
+                   active_in=None, interpret: bool | None = None,
+                   sort: bool = False):
     if interpret is None:
         interpret = _use_interpret()
+    if sort and not interpret:
+        return _sorted_dispatch(_anyhit_impl, wbvh, ray_o, ray_d, t_max,
+                                active_in, interpret, hbm=False)
     return _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret,
                         hbm=False)
 
@@ -437,15 +471,8 @@ def closest_hit_packet_hbm(wbvh: WideBVH, ray_o, ray_d, t_max,
         # interpret mode has no DMA engine; logic is identical anyway
         return _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, True,
                              hbm=False)
-    perm, inv = _sort_perm(wbvh, ray_o, ray_d)
-    active_p = None if active_in is None else active_in[perm]
-    t_max_p = (
-        t_max if jnp.ndim(t_max) == 0
-        else jnp.asarray(t_max, jnp.float32)[perm]
-    )
-    hit = _closest_impl(wbvh, ray_o[perm], ray_d[perm], t_max_p, active_p,
-                        False, hbm=True)
-    return Hit(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv], v=hit.v[inv])
+    return _sorted_dispatch(_closest_impl, wbvh, ray_o, ray_d, t_max,
+                            active_in, False, hbm=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -456,12 +483,5 @@ def any_hit_packet_hbm(wbvh: WideBVH, ray_o, ray_d, t_max,
     if interpret:
         return _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, True,
                             hbm=False)
-    perm, inv = _sort_perm(wbvh, ray_o, ray_d)
-    active_p = None if active_in is None else active_in[perm]
-    t_max_p = (
-        t_max if jnp.ndim(t_max) == 0
-        else jnp.asarray(t_max, jnp.float32)[perm]
-    )
-    occ = _anyhit_impl(wbvh, ray_o[perm], ray_d[perm], t_max_p, active_p,
-                       False, hbm=True)
-    return occ[inv]
+    return _sorted_dispatch(_anyhit_impl, wbvh, ray_o, ray_d, t_max,
+                            active_in, False, hbm=True)

@@ -46,6 +46,33 @@ def render_sample(scene, lens: LensArrays, height: int, width: int,
     return radiance.reshape(height, width, 3), rays
 
 
+@partial(jax.jit, static_argnames=("height", "width", "spp", "cfg",
+                                   "flip_image"))
+def render_spp(scene, lens: LensArrays, height: int, width: int,
+               start_index, spp: int, cfg: PathConfig,
+               flip_image: bool = True):
+    """Trace spp samples in ONE device dispatch (lax.fori_loop over
+    render_sample), summing radiance on-device.
+
+    The per-sample Python loop costs a host->device dispatch round-trip per
+    sample; batching the loop on-device is the analogue of the reference
+    recording all spp trace calls into a single command buffer
+    (offline/main.zig:131-165). Returns (radiance_sum [H,W,3], rays)."""
+    start = jnp.asarray(start_index, jnp.uint32)
+
+    def body(i, carry):
+        acc, rays_acc = carry
+        img, rays = render_sample(
+            scene, lens, height, width, start + jnp.uint32(i), cfg,
+            flip_image,
+        )
+        return acc + img, rays_acc + rays
+
+    init = (jnp.zeros((height, width, 3), jnp.float32),
+            jnp.zeros((), jnp.float32))
+    return jax.lax.fori_loop(0, spp, body, init)
+
+
 def render(scene, lens, height, width, spp, cfg: PathConfig,
            flip_image: bool = True, sensor: Sensor | None = None,
            progress=None):
