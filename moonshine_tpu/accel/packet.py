@@ -152,8 +152,13 @@ def _make_kernel(any_hit: bool, hbm: bool):
         o, d, inv_d, tmax = _load_rays(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref)
         )
+        live0 = tmax > 0.0
+        # block majority direction sign per axis (live lanes vote), used to
+        # pick near-first child order at internal visits — computed once
+        dir_sign = tuple(
+            jnp.sum(jnp.where(live0, c, 0.0)) >= 0.0 for c in d
+        )
         if any_hit:
-            live0 = tmax > 0.0
             occ_ref[0] = jnp.zeros_like(occ_ref[0])
         else:
             t_ref[0] = tmax
@@ -226,23 +231,43 @@ def _make_kernel(any_hit: bool, hbm: bool):
                           for j in range(WIDTH)]
                 child_all = [nrow(48 + j).astype(jnp.int32)
                              for j in range(WIDTH)]
-                pushed = jnp.int32(0)
-                base = top - 1
+                # hit mask + conservative entry distance per child slot
+                hits = []
                 for j in range(WIDTH):
-                    child = child_all[j]
                     tnear, tfar = _slab_test(lo_all[j], hi_all[j], o, inv_d)
                     hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= prune)
                     if any_hit:
                         hit = hit & live
-                    do_push = jnp.any(hit) & (child != -1)
-                    idx = base + pushed
+                    hits.append(jnp.any(hit) & (child_all[j] != -1))
+                base = top - 1
 
-                    @pl.when(do_push)
-                    def _():
-                        stack_ref[idx] = child
+                # children are build-sorted ascending along the node's
+                # dominant axis (col 56); push far-to-near so the LIFO pops
+                # near children first and t-pruning culls far subtrees
+                axis = nrow(56)
+                fwd = jax.lax.select(
+                    axis < 0.5, dir_sign[0],
+                    jax.lax.select(axis < 1.5, dir_sign[1], dir_sign[2]),
+                )
 
-                    pushed = pushed + do_push.astype(jnp.int32)
-                return base + pushed
+                def push_loop(idxs):
+                    pushed = jnp.int32(0)
+                    for j in idxs:
+                        do_push = hits[j]
+                        idx = base + pushed
+
+                        @pl.when(do_push)
+                        def _():
+                            stack_ref[idx] = child_all[j]
+
+                        pushed = pushed + do_push.astype(jnp.int32)
+                    return base + pushed
+
+                return jax.lax.cond(
+                    fwd,
+                    lambda: push_loop(range(WIDTH - 1, -1, -1)),
+                    lambda: push_loop(range(WIDTH)),
+                )
 
             def leaf(top):
                 if any_hit:

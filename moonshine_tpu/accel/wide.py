@@ -185,6 +185,27 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
     n_leaves = int(child_leaf.sum())
     ptr[child_leaf] = -2 - leaf_order[child_leaf]
 
+    # ordered traversal: sort each node's child slots ascending by centroid
+    # along the node's dominant (max centroid spread) axis, and record that
+    # axis in col 56. The traversal kernel pushes slots in direction-aware
+    # order (far first, near last) so near children pop first and the
+    # per-lane t-prune culls far subtrees — the packet analogue of the
+    # hardware BVH's ordered traversal.
+    cent = (b_min[sl] + b_max[sl]) * 0.5  # [W, 8, 3]
+    cmin = np.where(valid[:, :, None], cent, np.inf).min(axis=1)
+    cmax = np.where(valid[:, :, None], cent, -np.inf).max(axis=1)
+    spread = np.where(np.isfinite(cmin) & np.isfinite(cmax), cmax - cmin, 0.0)
+    node_axis = spread.argmax(axis=1)  # [W]
+    key = np.where(
+        valid,
+        np.take_along_axis(cent, node_axis[:, None, None], axis=2)[..., 0],
+        np.inf,
+    )
+    slot_order = np.argsort(key, axis=1, kind="stable")  # [W, 8]
+    sl = np.take_along_axis(sl, slot_order, axis=1)
+    valid = np.take_along_axis(valid, slot_order, axis=1)
+    ptr = np.take_along_axis(ptr, slot_order, axis=1)
+
     # node rows: boxes from binary AABBs + f32-encoded child pointers
     assert W < (1 << 24) and T < (1 << 24), "f32 id encoding cap exceeded"
     nodes = np.zeros((W, 128), np.float32)
@@ -195,6 +216,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
         valid[:, None, :], b_max[sl].transpose(0, 2, 1), 0.0
     ).reshape(W, 24)
     nodes[:, 48:56] = ptr.astype(np.float32)
+    nodes[:, 56] = node_axis.astype(np.float32)
 
     # leaf rows: each leaf child covers sorted range [start, start+count)
     leaf_nodes = slots_all[child_leaf]

@@ -14,6 +14,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+from .gather import gather_rows
 from .mappings import coin_flip_remap
 
 
@@ -72,6 +73,12 @@ def sample(table: AliasTable, count, rand):
         scaled.astype(jnp.uint32), jnp.asarray(count - 1, jnp.uint32)
     )
     rand = scaled - jnp.floor(scaled)
-    keep, rand = coin_flip_remap(table.select[idx], rand)
-    idx = jnp.where(keep, idx, table.alias[idx])
+    # one fused (select, alias) row fetch; alias ids are exact in f32
+    # below 2^24 entries
+    sa = gather_rows(
+        jnp.stack([table.select, table.alias.astype(jnp.float32)], axis=-1),
+        idx,
+    )
+    keep, rand = coin_flip_remap(sa[..., 0], rand)
+    idx = jnp.where(keep, idx, sa[..., 1].astype(jnp.uint32))
     return idx, rand

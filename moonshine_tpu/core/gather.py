@@ -1,0 +1,87 @@
+"""MXU one-hot row gather.
+
+XLA's TPU lowering of `table[ids]` runs at a few GB/s at renderer lane
+counts (measured ~20 ms for a [262k] gather of 32-float rows from a
+964-row table) — the path tracer's per-hit table fetches (triangle
+shading rows, material rows, texture-atlas texels, env-map texels) were
+the single largest cost after traversal. For small tables a gather is
+better expressed as a matmul: build a one-hot [N, T] selector in chunks
+and contract it with the [T, C] table on the MXU. With
+`precision=HIGHEST` (6-pass bf16) the selection is bit-exact vs the
+native gather (measured 0.0 abs error) at ~3x the speed, and the
+bilinear variant fuses a 4-tap filter into the same matmul by making the
+selector 4-hot with the filter weights.
+
+Cost is O(N*T), so this only wins while the table is small; the
+crossover vs XLA's gather is ~16k rows at 262k lanes. `gather_rows`
+falls back to the native gather above MM_MAX_ROWS and on non-TPU
+backends (CPU matmuls would make the tests crawl).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# table sizes beyond this use the native gather (measured crossover ~16k
+# rows at 262k lanes; stay well under it)
+MM_MAX_ROWS = 8192
+_CHUNK = 512
+
+
+def _use_mm(table_rows: int) -> bool:
+    return table_rows <= MM_MAX_ROWS and jax.default_backend() == "tpu"
+
+
+def _mm(table, make_selector_chunk, n):
+    """Sum over T-chunks of make_selector_chunk(t0) @ table[t0:t0+chunk]."""
+    T, C = table.shape
+    Tp = -(-T // _CHUNK) * _CHUNK
+    tab = jnp.pad(table, ((0, Tp - T), (0, 0)))
+    out = jnp.zeros((n, C), jnp.float32)
+    for t0 in range(0, Tp, _CHUNK):
+        sel = make_selector_chunk(t0)
+        out = out + jax.lax.dot(sel, tab[t0 : t0 + _CHUNK],
+                                precision="highest")
+    return out
+
+
+def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """table [T, C] f32, ids [N] int -> [N, C]. Out-of-range ids return 0
+    rows on the MXU path (the XLA fallback clamps like `table[ids]`)."""
+    T = table.shape[0]
+    if not _use_mm(T):
+        return table[ids]
+    idf = ids.astype(jnp.float32)[:, None]  # exact: T <= 8192 < 2^24
+    cols = jnp.arange(_CHUNK, dtype=jnp.float32)[None, :]
+
+    def selector(t0):
+        return (idf == cols + t0).astype(jnp.float32)
+
+    return _mm(table, selector, ids.shape[0])
+
+
+def weighted_gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
+                         weights: jnp.ndarray) -> jnp.ndarray:
+    """Fused K-tap filtered gather: table [T, C], ids [N, K] int,
+    weights [N, K] -> sum_k weights[:, k] * table[ids[:, k]] as one
+    matmul chain (the bilinear texture filter as MXU work)."""
+    T = table.shape[0]
+    K = ids.shape[1]
+    if not _use_mm(T):
+        out = 0.0
+        for k in range(K):
+            out = out + weights[:, k : k + 1] * table[ids[:, k]]
+        return out
+    idf = ids.astype(jnp.float32)  # [N, K]
+    cols = jnp.arange(_CHUNK, dtype=jnp.float32)[None, :]
+
+    def selector(t0):
+        sel = jnp.zeros((ids.shape[0], _CHUNK), jnp.float32)
+        for k in range(K):
+            sel = sel + jnp.where(
+                idf[:, k : k + 1] == cols + t0, weights[:, k : k + 1], 0.0
+            )
+        return sel
+
+    return _mm(table, selector, ids.shape[0])

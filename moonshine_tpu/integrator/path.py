@@ -29,6 +29,7 @@ from ..accel import packet, traverse
 from ..bsdf import materials as B
 from ..core import rng as R
 from ..core.frame import Frame, cos_theta
+from ..core.gather import gather_rows
 from ..core.mathutil import (
     INF_T,
     dot,
@@ -109,7 +110,7 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     Returns (position, uv, tri_frame, vtx_frame, mat_row, sampled) where
     mat_row is the packed material record.
     """
-    row = scene.tri_shade[tri]  # [N, 32]
+    row = gather_rows(scene.tri_shade, tri)  # [N, 32]
     n = tri.shape[0]
     corners = row[:, 0:9].reshape(n, 3, 3)
     nrms = row[:, 9:18].reshape(n, 3, 3)
@@ -129,7 +130,7 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     vtx_n = safe_normalize(_interp(bary_u, bary_v, nrms))
     vtx_frame = Frame(n=vtx_n, s=tri_frame.s, t=tri_frame.t).reorthogonalize()
 
-    mat_row = scene.materials.packed[mat_id]  # [N, 8]
+    mat_row = gather_rows(scene.materials.packed, mat_id)  # [N, 8]
     return position, uv, tri_frame, vtx_frame, mat_row, sampled
 
 
@@ -165,12 +166,12 @@ def _texture_frame(normal_rg, vtx_frame):
 
 def _emissive_at(scene, tri, bary):
     """Emitted radiance of a light sample point (NEE gather)."""
-    row = scene.tri_shade[tri]
+    row = gather_rows(scene.tri_shade, tri)
     n = tri.shape[0]
     uvs = row[:, 18:24].reshape(n, 3, 2)
     uv = _interp(bary[..., 0], bary[..., 1], uvs)
     mat_id = row[:, 24].astype(jnp.int32)
-    mat_row = scene.materials.packed[mat_id]
+    mat_row = gather_rows(scene.materials.packed, mat_id)
     block = sample_material_block(scene.mat_atlas, mat_row[:, 1:5], uv)
     return block[:, TX.EMISSIVE]
 

@@ -26,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import alias_table
+from ..core.gather import gather_rows, weighted_gather_rows
 from ..core.mappings import (
     cartesian_to_spherical,
     square_to_equal_area_sphere,
@@ -141,7 +142,7 @@ def sample_envmap(env: EnvMap, rand2: jnp.ndarray):
     ix = texel // S
     iy = texel - ix * S
 
-    row = env.rgbl[texel]
+    row = gather_rows(env.rgbl, texel)
     radiance = row[..., :3]
     lum = row[..., 3]
     discrete_pdf = lum * (S * S) / jnp.maximum(env.integral, 1e-30)
@@ -159,7 +160,7 @@ def eval_envmap(env: EnvMap, dir_ws: jnp.ndarray):
     S = env.size
     uv = square_to_equal_area_sphere_inverse(dir_ws)
     idx = jnp.clip((uv * S).astype(jnp.int32), 0, S - 1)
-    row = env.rgbl[idx[..., 0] * S + idx[..., 1]]
+    row = gather_rows(env.rgbl, idx[..., 0] * S + idx[..., 1])
     pdf = row[..., 3] * (S * S) / jnp.maximum(env.integral, 1e-30) / (4.0 * PI)
     return row[..., :3], pdf
 
@@ -179,18 +180,27 @@ def miss_radiance_and_pdf(env: EnvMap, dir_ws: jnp.ndarray):
     xi1 = jnp.clip(xi0 + 1, 0, S - 1)
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
     yi1 = jnp.clip(yi0 + 1, 0, S - 1)
-    r00 = env.rgbl[xi0 * S + yi0]
-    r10 = env.rgbl[xi1 * S + yi0]
-    r01 = env.rgbl[xi0 * S + yi1]
-    r11 = env.rgbl[xi1 * S + yi1]
-    top = r00[..., :3] * (1 - fx) + r10[..., :3] * fx
-    bot = r01[..., :3] * (1 - fx) + r11[..., :3] * fx
-    bilinear = top + (bot - top) * fy
+    bilinear = _bilinear_taps(env, xi0, xi1, yi0, yi1, fx, fy)[..., :3]
     # pdf uses the point-sampled texel, like eval (light.hlsl:90-95)
     idx = jnp.clip((uv * S).astype(jnp.int32), 0, S - 1)
-    texel = env.rgbl[idx[..., 0] * S + idx[..., 1]]
+    texel = gather_rows(env.rgbl, idx[..., 0] * S + idx[..., 1])
     pdf = texel[..., 3] * (S * S) / jnp.maximum(env.integral, 1e-30) / (4.0 * PI)
     return bilinear, texel[..., :3], pdf
+
+
+def _bilinear_taps(env: EnvMap, xi0, xi1, yi0, yi1, fx, fy):
+    """Four-tap bilinear env fetch as one fused weighted MXU gather."""
+    S = env.size
+    fx1 = fx[..., 0]
+    fy1 = fy[..., 0]
+    ids = jnp.stack(
+        [xi0 * S + yi0, xi1 * S + yi0, xi0 * S + yi1, xi1 * S + yi1], axis=-1
+    )
+    weights = jnp.stack(
+        [(1 - fx1) * (1 - fy1), fx1 * (1 - fy1), (1 - fx1) * fy1, fx1 * fy1],
+        axis=-1,
+    )
+    return weighted_gather_rows(env.rgbl, ids, weights)
 
 
 def envmap_incoming_radiance(env: EnvMap, dir_ws: jnp.ndarray):
@@ -207,7 +217,4 @@ def envmap_incoming_radiance(env: EnvMap, dir_ws: jnp.ndarray):
     xi1 = jnp.clip(xi0 + 1, 0, S - 1)
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
     yi1 = jnp.clip(yi0 + 1, 0, S - 1)
-    fetch = lambda a, b: env.rgbl[a * S + b, :3]
-    top = fetch(xi0, yi0) * (1 - fx) + fetch(xi1, yi0) * fx
-    bot = fetch(xi0, yi1) * (1 - fx) + fetch(xi1, yi1) * fx
-    return top + (bot - top) * fy
+    return _bilinear_taps(env, xi0, xi1, yi0, yi1, fx, fy)[..., :3]

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import alias_table
+from ..core.gather import gather_rows
 from ..core.mappings import square_to_triangle
 from ..core.mathutil import dot, safe_normalize
 
@@ -40,7 +41,10 @@ def sample_mesh_lights(scene, position_ws, rand2):
     has = em.count > 0
     count = jnp.maximum(em.count, 1)
     slot, rx = alias_table.sample(table, count, rand2[..., 0])
-    tri_id = em.tri[jnp.clip(slot, 0, em.tri.shape[0] - 1)]
+    tri_id = gather_rows(
+        em.tri.astype(jnp.float32)[:, None],
+        jnp.clip(slot, 0, em.tri.shape[0] - 1),
+    )[..., 0].astype(jnp.int32)
 
     bary = square_to_triangle(
         jnp.stack([rx, rand2[..., 1]], axis=-1)

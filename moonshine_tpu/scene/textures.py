@@ -27,6 +27,8 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+from ..core.gather import weighted_gather_rows
+
 BLOCK_CHANNELS = 16
 COLOR = slice(0, 3)
 METALNESS = 3
@@ -162,11 +164,15 @@ def sample_material_block(atlas: MaterialAtlas, rect: jnp.ndarray,
     iv1 = wrap(iv + 1, th)
 
     stride = atlas.width
-    fetch = lambda ix, iy: atlas.data[(y0 + iy) * stride + (x0 + ix)]
-    c00 = fetch(iu0, iv0)
-    c10 = fetch(iu1, iv0)
-    c01 = fetch(iu0, iv1)
-    c11 = fetch(iu1, iv1)
-    top = c00 + (c10 - c00) * fu
-    bot = c01 + (c11 - c01) * fu
-    return top + (bot - top) * fv
+    idx = lambda ix, iy: (y0 + iy) * stride + (x0 + ix)
+    fu1 = fu[..., 0]
+    fv1 = fv[..., 0]
+    ids = jnp.stack(
+        [idx(iu0, iv0), idx(iu1, iv0), idx(iu0, iv1), idx(iu1, iv1)], axis=-1
+    )
+    weights = jnp.stack(
+        [(1 - fu1) * (1 - fv1), fu1 * (1 - fv1), (1 - fu1) * fv1, fu1 * fv1],
+        axis=-1,
+    )
+    # the whole bilinear filter as one fused 4-tap MXU gather
+    return weighted_gather_rows(atlas.data, ids, weights)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..accel import lbvh, wide as wide_bvh
 from ..core import alias_table
+from ..core.gather import gather_rows
 from ..lights.envmap import EnvMap, build_envmap, constant_envmap
 from .textures import MaterialAtlas, MaterialBlockBuilder
 from .types import (
@@ -98,7 +99,8 @@ class DeviceScene(NamedTuple):
         Gather full rows, then slice: mixed advanced+basic indexing
         (`x[ids, 0:9]`) lowers to a pathologically slow TPU gather.
         """
-        return self.tri_shade[tri_ids][:, 0:9].reshape(*tri_ids.shape, 3, 3)
+        row = gather_rows(self.tri_shade, tri_ids)
+        return row[:, 0:9].reshape(*tri_ids.shape, 3, 3)
 
 
 class World:
