@@ -111,10 +111,10 @@ def trace_direct(scene, ray_o, ray_d, rng_state, cfg: DirectConfig):
 
     if cfg.mesh_samples_per_bounce > 0:
         def mesh_sampler(r2):
-            l_dir, l_pos, l_n, l_tri, l_bary, l_pdf = sample_mesh_lights(
+            l_dir, l_pos, l_n, l_tri, l_bary, l_pdf, l_row = sample_mesh_lights(
                 scene, position, r2
             )
-            l_rad = _emissive_at(scene, l_tri, l_bary)
+            l_rad = _emissive_at(scene, l_row, l_bary)
             seg = offset_along_normal(l_pos, l_n) - position
             tmax = jnp.linalg.norm(seg, axis=-1)
             return l_dir, l_rad, l_pdf, tmax

@@ -164,13 +164,13 @@ def _texture_frame(normal_rg, vtx_frame):
     return Frame(n=n_ws, s=vtx_frame.s, t=vtx_frame.t).reorthogonalize()
 
 
-def _emissive_at(scene, tri, bary):
-    """Emitted radiance of a light sample point (NEE gather)."""
-    row = gather_rows(scene.tri_shade, tri)
-    n = tri.shape[0]
-    uvs = row[:, 18:24].reshape(n, 3, 2)
+def _emissive_at(scene, shade_row, bary):
+    """Emitted radiance of a light sample point, from its (already
+    gathered) packed shading row (NEE emissive lookup)."""
+    n = shade_row.shape[0]
+    uvs = shade_row[:, 18:24].reshape(n, 3, 2)
     uv = _interp(bary[..., 0], bary[..., 1], uvs)
-    mat_id = row[:, 24].astype(jnp.int32)
+    mat_id = shade_row[:, 24].astype(jnp.int32)
     mat_row = gather_rows(scene.materials.packed, mat_id)
     block = sample_material_block(scene.mat_atlas, mat_row[:, 1:5], uv)
     return block[:, TX.EMISSIVE]
@@ -212,12 +212,18 @@ def _any_hit(scene, o, d, t_max, active):
 # compaction on this architecture.
 
 
-def _bounce_body(scene, cfg: PathConfig, bounce, st):
+def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False):
     """One path-tracing bounce over the whole lane batch.
 
     `bounce` may be a traced scalar (while_loop mode) or a Python int
     (unrolled mode — XLA then pipelines gathers across segments). State is a
-    dict; RNG consumption is identical in both modes so images match.
+    dict; RNG consumption on surviving lanes is identical in both modes so
+    images match.
+
+    last=True (static, unrolled mode only) marks the final segment, where
+    every lane dies right after the emissive/miss accumulation
+    (integrator.hlsl:126-128): NEE, russian roulette, and the BSDF scatter
+    are statically skipped — they could only feed bounces that never run.
     """
     lor = jnp.logical_or
     land = jnp.logical_and
@@ -300,6 +306,21 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st):
         )
 
     # ---- termination (integrator.hlsl:126-135)
+    if last:
+        # final segment: the max-bounce cut kills every lane here; skip
+        # RR, NEE, and the scatter — nothing after this can contribute
+        return dict(
+            active=jnp.zeros_like(active),
+            o=o,
+            d=d,
+            throughput=throughput,
+            radiance=radiance,
+            last_pdf=last_pdf,
+            last_delta=last_delta,
+            rng=rng,
+            rays=rays,
+        )
+
     active = land(active, bounce < cfg.max_bounces + 1)
     rng, rr_rand = R.next_float(rng)
     do_rr = jnp.asarray(bounce > 3)
@@ -335,10 +356,10 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st):
 
     for _ in range(cfg.mesh_samples_per_bounce):
         rng, r2 = R.next_float2(rng)
-        l_dir, l_pos, l_n, l_tri, l_bary, l_pdf = sample_mesh_lights(
+        l_dir, l_pos, l_n, l_tri, l_bary, l_pdf, l_row = sample_mesh_lights(
             scene, position, r2
         )
-        l_rad = _emissive_at(scene, l_tri, l_bary)
+        l_rad = _emissive_at(scene, l_row, l_bary)
         # two-ended precise shadow segment (light.hlsl:149-154)
         off_light = offset_along_normal(l_pos, l_n)
         off_shade = offset_along_normal(
@@ -443,7 +464,8 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
 
     if unroll:
         for bounce in range(n_segments):
-            st = _bounce_body(scene, cfg, bounce, st)
+            st = _bounce_body(scene, cfg, bounce, st,
+                              last=bounce == n_segments - 1)
         return st["radiance"], st["rng"], st["rays"]
 
     keys = tuple(st.keys())

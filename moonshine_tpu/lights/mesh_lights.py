@@ -31,7 +31,9 @@ def sample_mesh_lights(scene, position_ws, rand2):
 
     scene: DeviceScene; position_ws: [N,3]; rand2: [N,2].
     Returns (dir_ws [N,3], light_pos [N,3], light_normal [N,3],
-             tri_id [N] i32, bary [N,2], pdf [N]).
+             tri_id [N] i32, bary [N,2], pdf [N], shade_row [N,32]).
+    shade_row is the light triangle's packed shading row — callers reuse it
+    for the emissive lookup instead of re-gathering the same row.
     pdf == 0 when there are no emitters (light.hlsl:134-136).
     """
     em = scene.emitters
@@ -49,7 +51,8 @@ def sample_mesh_lights(scene, position_ws, rand2):
     bary = square_to_triangle(
         jnp.stack([rx, rand2[..., 1]], axis=-1)
     )
-    corners = scene.corner_positions(tri_id)  # [N,3,3]
+    shade_row = gather_rows(scene.tri_shade, tri_id)  # [N, 32]
+    corners = shade_row[:, 0:9].reshape(-1, 3, 3)
     b0 = (1.0 - bary[..., 0] - bary[..., 1])[..., None]
     b1 = bary[..., 0][..., None]
     b2 = bary[..., 1][..., None]
@@ -64,4 +67,4 @@ def sample_mesh_lights(scene, position_ws, rand2):
         em.weight_sum, 1e-20
     )
     pdf = jnp.where(has, pdf, 0.0)
-    return dir_ws, light_pos, gn, tri_id, bary, pdf
+    return dir_ws, light_pos, gn, tri_id, bary, pdf, shade_row
