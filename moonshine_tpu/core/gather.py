@@ -23,8 +23,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# table sizes beyond this use the native gather (measured crossover ~16k
-# rows at 262k lanes; stay well under it)
+# table sizes beyond this use the native gather. Microbenchmarks put the
+# crossover near 16k rows at 262k lanes, but end-to-end the 10k-tri
+# mirror_glass rung measured slower with the gate at 16384 — keep it at
+# 8192 where every covered call site is a verified win.
 MM_MAX_ROWS = 8192
 _CHUNK = 512
 

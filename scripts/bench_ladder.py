@@ -16,21 +16,18 @@ import numpy as np
 def run_rung(name, scene, lens, size, spp, cfg):
     import jax.numpy as jnp
     from moonshine_tpu.render.camera import LensArrays
-    from moonshine_tpu.render.renderer import render_sample
+    from moonshine_tpu.render.renderer import render_spp
 
     la = LensArrays.from_lens(lens)
     h, w = size
-    # compile + warmup
-    img, rays = render_sample(scene, la, h, w, jnp.asarray(0, jnp.uint32), cfg)
+    # one fused device dispatch for all spp (same protocol as bench.py —
+    # per-sample host readbacks would add a ~350 ms tunnel round-trip each)
+    img, rays = render_spp(scene, la, h, w, 0, spp, cfg)
     img.block_until_ready()
     t0 = time.perf_counter()
-    total_rays = 0.0
-    for s in range(1, spp + 1):
-        img, rays = render_sample(
-            scene, la, h, w, jnp.asarray(s, jnp.uint32), cfg
-        )
-        total_rays += float(rays)
+    img, rays = render_spp(scene, la, h, w, spp, spp, cfg)
     img.block_until_ready()
+    total_rays = float(rays)
     dt = time.perf_counter() - t0
     result = {
         "rung": name,
