@@ -23,11 +23,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# table sizes beyond this use the native gather. Microbenchmarks put the
-# crossover near 16k rows at 262k lanes, but end-to-end the 10k-tri
-# mirror_glass rung measured slower with the gate at 16384 — keep it at
-# 8192 where every covered call site is a verified win.
-MM_MAX_ROWS = 8192
+# table sizes beyond this use the native gather. Isolated microbenchmarks
+# put the crossover near 16k rows at 262k lanes, but end-to-end renders
+# disagree hard: the mirror_glass rung ran 1.73 Mrays/s with its 4096-row
+# env table on the MXU path vs 2.76 with it on the native gather. Selector
+# cost scales with N*T regardless of how narrow the table is, so keep the
+# gate where every covered call site is an end-to-end verified win.
+MM_MAX_ROWS = 2048
 _CHUNK = 512
 
 
