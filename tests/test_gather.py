@@ -1,0 +1,82 @@
+"""core/gather.py: MXU one-hot gather correctness.
+
+The mm selector path normally only engages on TPU (gate in _use_mm), but
+it is pure jnp — these tests force it on CPU so the selection/weighting
+logic is covered by CI. On-chip exactness of the precision=HIGHEST dot
+was verified separately (0.0 abs error at 262k lanes, see BASELINE.md).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonshine_tpu.core import gather as G
+
+
+@pytest.fixture
+def force_mm(monkeypatch):
+    monkeypatch.setattr(G, "_use_mm", lambda rows: True)
+
+
+def _table(t=300, c=7, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(t, c)).astype(np.float32) * 50)
+
+
+class TestGatherRows:
+    def test_fallback_matches_indexing(self):
+        tab = _table()
+        ids = jnp.asarray([0, 5, 299, 5, 17], jnp.int32)
+        assert G._use_mm(10**9) is False  # huge tables always fall back
+        np.testing.assert_array_equal(G.gather_rows(tab, ids), tab[ids])
+
+    def test_mm_matches_indexing(self, force_mm):
+        tab = _table()
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, 300, size=500), jnp.int32)
+        np.testing.assert_array_equal(G.gather_rows(tab, ids), tab[ids])
+
+    def test_mm_multi_chunk(self, force_mm):
+        tab = _table(t=G._CHUNK + 37)
+        ids = jnp.asarray([0, G._CHUNK - 1, G._CHUNK, G._CHUNK + 36],
+                          jnp.int32)
+        np.testing.assert_array_equal(G.gather_rows(tab, ids), tab[ids])
+
+    def test_mm_out_of_range_is_zero(self, force_mm):
+        tab = _table()
+        out = G.gather_rows(tab, jnp.asarray([300, 1000], jnp.int32))
+        np.testing.assert_array_equal(out, np.zeros((2, 7), np.float32))
+
+
+class TestWeightedGatherRows:
+    def _check(self, tab, ids, w):
+        ref = sum(
+            np.asarray(w)[:, k : k + 1] * np.asarray(tab)[np.asarray(ids)[:, k]]
+            for k in range(ids.shape[1])
+        )
+        got = G.weighted_gather_rows(tab, ids, w)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
+
+    def test_fallback(self):
+        tab = _table()
+        rng = np.random.default_rng(2)
+        ids = jnp.asarray(rng.integers(0, 300, size=(64, 4)), jnp.int32)
+        w = jnp.asarray(rng.random((64, 4)).astype(np.float32))
+        self._check(tab, ids, w)
+
+    def test_mm(self, force_mm):
+        tab = _table()
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(0, 300, size=(64, 4)), jnp.int32)
+        w = jnp.asarray(rng.random((64, 4)).astype(np.float32))
+        self._check(tab, ids, w)
+
+    def test_mm_duplicate_taps_accumulate(self, force_mm):
+        """Bilinear wrap can land two taps on the same texel; their
+        weights must add."""
+        tab = _table()
+        ids = jnp.asarray([[7, 7, 2, 2]], jnp.int32)
+        w = jnp.asarray([[0.25, 0.25, 0.3, 0.2]], jnp.float32)
+        got = G.weighted_gather_rows(tab, ids, w)
+        ref = 0.5 * tab[7] + 0.5 * tab[2]
+        np.testing.assert_allclose(got[0], ref, rtol=1e-6)
