@@ -45,9 +45,9 @@ BLOCK = 8192       # VMEM-path packet width
 HBM_BLOCK = 4096   # HBM-path packet width (bigger unions hurt big scenes)
 ROWS = BLOCK // 128
 STACK_DEPTH = 512
-# the HBM kernel needs one DMA semaphore per stack slot and semaphore
-# memory is ~2KB, so its stack is shallower; traversal pushes at most
-# (WIDTH-1) * depth + 1 entries, checked against the tree depth at dispatch
+# the HBM kernel's stack is shallower (it was sized when each slot carried
+# a DMA semaphore); traversal pushes at most (WIDTH-1) * depth + 1 entries,
+# checked against the tree's build-time depth by stack_ok() at dispatch
 HBM_STACK_DEPTH = 256
 _NEG = -1.0e30
 
@@ -73,6 +73,15 @@ def fits_vmem(wbvh: WideBVH) -> bool:
         for a in (wbvh.nodes, wbvh.leaves)
     )
     return total <= VMEM_SCENE_BUDGET_BYTES
+
+
+def stack_ok(wbvh: WideBVH, hbm: bool) -> bool:
+    """True when the tree's worst-case stack occupancy fits the kernel's
+    SMEM stack. Static under jit (depth is shape-encoded on WideBVH);
+    dispatchers fall back to the per-lane jnp traversal when this fails
+    (pathological skewed trees only)."""
+    depth = wbvh.max_stack if hasattr(wbvh, "max_stack") else 1
+    return depth <= (HBM_STACK_DEPTH if hbm else STACK_DEPTH)
 
 
 def _slab_test(lo, hi, o, inv_d):

@@ -55,9 +55,23 @@ class WideBVH(NamedTuple):
     nodes: jnp.ndarray  # [M, 128] f32
     leaves: jnp.ndarray  # [L, 128] f32
     bounds: jnp.ndarray  # [2, 3] f32 scene AABB (for ray-sort keys)
+    # [depth] u8 zeros: the wide tree's level count, encoded in a *shape*
+    # so traversal dispatch can branch on it statically under jit (pytree
+    # int leaves become tracers; shapes stay concrete). Worst-case stack
+    # occupancy is (WIDTH-1)*depth + 1 (each visit pops one entry and
+    # pushes at most WIDTH children).
+    depth_token: jnp.ndarray
     num_nodes: int
     num_leaves: int
     num_tris: int
+
+    @property
+    def max_depth(self) -> int:
+        return self.depth_token.shape[0]
+
+    @property
+    def max_stack(self) -> int:
+        return (WIDTH - 1) * self.max_depth + 1
 
 
 def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH:
@@ -247,6 +261,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
         nodes=jnp.asarray(nodes),
         leaves=jnp.asarray(leaves),
         bounds=jnp.asarray(bounds),
+        depth_token=jnp.zeros((max(len(all_rows), 1),), jnp.uint8),
         num_nodes=W,
         num_leaves=max(n_leaves, 1),
         num_tris=T,

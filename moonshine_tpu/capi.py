@@ -13,6 +13,20 @@ scheme.
 
 from __future__ import annotations
 
+import os
+
+# Embedding hosts can't rely on the JAX_PLATFORMS env var alone: a
+# sitecustomize may pin a platform plugin before env vars are consulted.
+# MSN_PLATFORM updates the live jax config before the backend initializes
+# (the same recipe tests/conftest.py uses), so `MSN_PLATFORM=cpu` reliably
+# keeps a C++ host off the TPU. Must run before any jax-importing module.
+_plat = os.environ.get("MSN_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+del _plat
+
 import numpy as np
 
 from .engine import Engine

@@ -51,11 +51,12 @@ def _mm(table, make_selector_chunk, n):
 
 
 def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """table [T, C] f32, ids [N] int -> [N, C]. Out-of-range ids return 0
-    rows on the MXU path (the XLA fallback clamps like `table[ids]`)."""
+    """table [T, C] f32, ids [N] int -> [N, C]. Out-of-range ids clamp to
+    the nearest valid row on both paths (matching `table[ids]` on TPU)."""
     T = table.shape[0]
     if not _use_mm(T):
         return table[ids]
+    ids = jnp.clip(ids, 0, T - 1)
     idf = ids.astype(jnp.float32)[:, None]  # exact: T <= 8192 < 2^24
     cols = jnp.arange(_CHUNK, dtype=jnp.float32)[None, :]
 
@@ -77,6 +78,7 @@ def weighted_gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
         for k in range(K):
             out = out + weights[:, k : k + 1] * table[ids[:, k]]
         return out
+    ids = jnp.clip(ids, 0, T - 1)
     idf = ids.astype(jnp.float32)  # [N, K]
     cols = jnp.arange(_CHUNK, dtype=jnp.float32)[None, :]
 

@@ -182,9 +182,10 @@ def _closest(scene, o, d, t_max, active):
     while_loop fallback when no wide BVH exists."""
     wide = getattr(scene, "wide", None)
     if wide is not None:
-        if packet.fits_vmem(wide):
+        if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
             return packet.closest_hit_packet(wide, o, d, t_max, active_in=active)
-        return packet.closest_hit_packet_hbm(wide, o, d, t_max, active_in=active)
+        if packet.stack_ok(wide, hbm=True):
+            return packet.closest_hit_packet_hbm(wide, o, d, t_max, active_in=active)
     return traverse.closest_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
@@ -193,9 +194,10 @@ def _closest(scene, o, d, t_max, active):
 def _any_hit(scene, o, d, t_max, active):
     wide = getattr(scene, "wide", None)
     if wide is not None:
-        if packet.fits_vmem(wide):
+        if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
             return packet.any_hit_packet(wide, o, d, t_max, active_in=active)
-        return packet.any_hit_packet_hbm(wide, o, d, t_max, active_in=active)
+        if packet.stack_ok(wide, hbm=True):
+            return packet.any_hit_packet_hbm(wide, o, d, t_max, active_in=active)
     return traverse.any_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )

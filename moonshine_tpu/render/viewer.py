@@ -39,6 +39,9 @@ def tonemap(linear: np.ndarray, exposure: float = 1.0) -> np.ndarray:
 class Viewer:
     MOVE_SPEED = 0.25
     TURN_SPEED = 0.1
+    # background render loop pauses when no client has polled for this long
+    # (a forgotten browser tab must not peg the chip forever)
+    IDLE_TIMEOUT = 10.0
 
     def __init__(self, engine: Engine, lens: Lens, width=512, height=512):
         self.engine = engine
@@ -48,7 +51,11 @@ class Viewer:
         self.sensor = engine.create_sensor(width, height)
         self.lens_handle = engine.create_lens(lens)
         self.exposure = 1.0
-        self.max_samples = 0  # 0 = unbounded (GUI max-samples control)
+        # default accumulation cap (GUI max-samples control); 0 = unbounded.
+        # A converged frame stops burning the chip; any camera move or
+        # reset() restarts accumulation from zero.
+        self.max_samples = 4096
+        self._last_poll = time.time()
         self._stop = threading.Event()
 
     # --- camera fly controls (online/main.zig:442-483) ---
@@ -152,6 +159,16 @@ class Viewer:
         if background_render:
             def loop():
                 while not viewer._stop.is_set():
+                    idle = (
+                        time.time() - viewer._last_poll > viewer.IDLE_TIMEOUT
+                    )
+                    done = viewer.max_samples and (
+                        viewer.engine.sample_count(viewer.sensor)
+                        >= viewer.max_samples
+                    )
+                    if idle or done:
+                        time.sleep(0.25)
+                        continue
                     viewer.step()
 
             threading.Thread(target=loop, daemon=True).start()
@@ -168,6 +185,7 @@ class Viewer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                viewer._last_poll = time.time()
                 if self.path == "/":
                     self._send(200, _INDEX_HTML.encode(), "text/html")
                 elif self.path.startswith("/frame.png"):

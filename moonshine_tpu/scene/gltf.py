@@ -186,7 +186,8 @@ def _zup(mat4: np.ndarray) -> np.ndarray:
     return mat4[[0, 2, 1], :4].astype(np.float32)
 
 
-def _convert_material(glb: Glb, mat_def: dict) -> MaterialInfo:
+def _convert_material(glb: Glb, mat_def: dict,
+                      spec_channels: bool = True) -> MaterialInfo:
     pbr = mat_def.get("pbrMetallicRoughness", {})
     ext = mat_def.get("extensions", {})
     ior = ext.get("KHR_materials_ior", {}).get("ior", 1.5)
@@ -230,12 +231,14 @@ def _convert_material(glb: Glb, mat_def: dict) -> MaterialInfo:
 
     if "metallicRoughnessTexture" in pbr:
         img = glb.texture_image(pbr["metallicRoughnessTexture"]["index"])
-        # glTF spec: blue = metallic, green = roughness. (The reference reads
-        # metallic from red, World.zig:173-175 — a spec deviation we do not
-        # reproduce; spec-packed assets would render wrong.)
+        # glTF spec: blue = metallic, green = roughness. The reference reads
+        # metallic from red (World.zig:173-175), a spec deviation; pass
+        # spec_channels=False (e.g. via world_from_glb) to mirror it when
+        # comparing images against reference renders of such assets.
+        metal_ch = 2 if spec_channels else 0
         variant = StandardPBR(
             color=color,
-            metalness=img[..., 2:3],
+            metalness=img[..., metal_ch : metal_ch + 1],
             roughness=img[..., 1:2],
             ior=ior,
         )
@@ -250,7 +253,8 @@ def _convert_material(glb: Glb, mat_def: dict) -> MaterialInfo:
     return MaterialInfo(variant=variant, normal=normal, emissive=emissive)
 
 
-def world_from_glb(path_or_bytes, world: World | None = None) -> World:
+def world_from_glb(path_or_bytes, world: World | None = None,
+                   spec_channels: bool = True) -> World:
     """Populate a World from a .glb (World.fromGlb parity)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         glb = Glb.parse(bytes(path_or_bytes))
@@ -263,7 +267,8 @@ def world_from_glb(path_or_bytes, world: World | None = None) -> World:
 
     materials = doc.get("materials", [])
     mat_handles = [
-        world.add_material(_convert_material(glb, m)) for m in materials
+        world.add_material(_convert_material(glb, m, spec_channels))
+        for m in materials
     ]
     if not mat_handles:
         mat_handles = [world.add_material(MaterialInfo(variant=Lambert()))]

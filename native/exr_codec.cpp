@@ -248,6 +248,7 @@ int MsnExrRead(const char *path, float **out_rgba, uint32_t *out_width,
         std::string name = r.cstring();
         std::string type = r.cstring();
         int32_t asize = r.read<int32_t>();
+        if (asize < 0 || r.off + (size_t)asize > r.n) return 6;
         size_t next = r.off + (size_t)asize;
         if (name == "channels") {
             while (r.off < next && buf[r.off] != 0) {
@@ -259,6 +260,7 @@ int MsnExrRead(const char *path, float **out_rgba, uint32_t *out_width,
                 channels.push_back(c);
             }
         } else if (name == "compression") {
+            if (asize < 1 || r.off >= r.n) return 6;
             compression = buf[r.off];
         } else if (name == "dataWindow") {
             xmin = r.read<int32_t>();
@@ -273,6 +275,7 @@ int MsnExrRead(const char *path, float **out_rgba, uint32_t *out_width,
     if (compression != NONE && compression != ZIP && compression != ZIPS)
         return 7;  // PIZ and friends unsupported
 
+    if (xmax < xmin || ymax < ymin) return 6;
     uint32_t width = (uint32_t)(xmax - xmin + 1);
     uint32_t height = (uint32_t)(ymax - ymin + 1);
     uint32_t lines_per_chunk = compression == ZIP ? 16 : 1;
@@ -290,7 +293,9 @@ int MsnExrRead(const char *path, float **out_rgba, uint32_t *out_width,
     for (uint32_t ci = 0; ci < n_chunks && r.ok; ++ci) {
         int32_t y = r.read<int32_t>();
         int32_t packed_size = r.read<int32_t>();
-        if (!r.ok || r.off + (size_t)packed_size > r.n) return 6;
+        if (!r.ok || packed_size < 0 ||
+            r.off + (size_t)packed_size > r.n || y < ymin || y > ymax)
+            return 6;
         uint32_t n_lines =
             std::min<uint32_t>(lines_per_chunk, (uint32_t)(ymax - y + 1));
         size_t expected = row_bytes * n_lines;
@@ -301,10 +306,15 @@ int MsnExrRead(const char *path, float **out_rgba, uint32_t *out_width,
             raw.resize(expected);
             uLongf dest = (uLongf)expected;
             if (uncompress(raw.data(), &dest, buf.data() + r.off,
-                           (uLong)packed_size) != Z_OK)
+                           (uLong)packed_size) != Z_OK ||
+                dest != (uLongf)expected)
                 return 8;
             zip_postprocess(raw);
         } else {
+            // stored-raw chunk (NONE, or incompressible ZIP chunk stored
+            // verbatim): its size must be exactly the scanline payload the
+            // copy loop below reads — reject truncated/malformed files
+            if ((size_t)packed_size != expected) return 6;
             raw.assign(buf.data() + r.off, buf.data() + r.off + packed_size);
         }
         r.skip((size_t)packed_size);
@@ -312,6 +322,7 @@ int MsnExrRead(const char *path, float **out_rgba, uint32_t *out_width,
         size_t pos = 0;
         for (uint32_t line = 0; line < n_lines; ++line) {
             uint32_t yy = (uint32_t)(y - ymin) + line;
+            if (yy >= height) break;
             for (auto &c : channels) {
                 float *dst = planes[c.name].data() + (size_t)yy * width;
                 if (c.type == HALF) {

@@ -42,10 +42,14 @@ class TestGatherRows:
                           jnp.int32)
         np.testing.assert_array_equal(G.gather_rows(tab, ids), tab[ids])
 
-    def test_mm_out_of_range_is_zero(self, force_mm):
+    def test_mm_out_of_range_clamps(self, force_mm):
+        """Both paths clamp out-of-range ids like TPU `table[ids]` — the
+        MXU path must not silently diverge (returns were once zero rows)."""
         tab = _table()
-        out = G.gather_rows(tab, jnp.asarray([300, 1000], jnp.int32))
-        np.testing.assert_array_equal(out, np.zeros((2, 7), np.float32))
+        out = G.gather_rows(tab, jnp.asarray([-3, 300, 1000], jnp.int32))
+        np.testing.assert_array_equal(
+            out, np.asarray(tab)[[0, 299, 299]]
+        )
 
 
 class TestWeightedGatherRows:

@@ -104,6 +104,35 @@ class TestParser:
         # sRGB 0.5 decodes to ~0.214 linear
         assert abs(img[0, 0, 0] - 0.2140) < 2e-2
 
+    def test_metallic_roughness_channels(self):
+        """spec_channels=True reads metallic from blue (glTF spec);
+        spec_channels=False mirrors the reference's red-channel read
+        (World.zig:173-175) for image-parity comparisons."""
+        positions, indices = quad()
+        uv = np.float32([[0, 0], [1, 0], [1, 1], [0, 1]])
+
+        def load(spec_channels):
+            glb = build_glb(
+                meshes=[{"positions": positions, "indices": indices,
+                         "texcoords": uv}],
+                materials=[{"name": "mr", "pbrMetallicRoughness": {
+                    "metallicRoughnessTexture": {"index": 0}}}],
+                nodes=[{"mesh": 0}],
+                images=[png_bytes((1.0, 0.5, 0.0))],  # r=1, g=0.5, b=0
+            )
+            return gltf.world_from_glb(
+                glb, spec_channels=spec_channels
+            ).materials[0].variant
+
+        v_spec = load(True)
+        v_ref = load(False)
+        assert isinstance(v_spec, StandardPBR)
+        assert np.asarray(v_spec.metalness).max() == 0.0   # blue channel
+        assert np.asarray(v_ref.metalness).min() == 1.0    # red channel
+        np.testing.assert_allclose(
+            np.asarray(v_spec.roughness), np.asarray(v_ref.roughness)
+        )
+
     def test_camera(self):
         positions, indices = quad()
         glb = build_glb(

@@ -102,7 +102,9 @@ class TestShimHost:
             capture_output=True, text=True,
         )
         assert r.returncode == 0, r.stderr[-500:]
-        env = dict(os.environ, PYTHONPATH=str(ROOT), JAX_PLATFORMS="cpu")
+        # MSN_PLATFORM beats the axon sitecustomize (capi.py forces the
+        # jax config pre-backend-init); JAX_PLATFORMS alone does not
+        env = dict(os.environ, PYTHONPATH=str(ROOT), MSN_PLATFORM="cpu")
         r = subprocess.run([str(exe)], capture_output=True, text=True,
                            env=env, timeout=280)
         assert r.returncode == 0, (r.stdout[-300:], r.stderr[-500:])

@@ -47,6 +47,15 @@ class TestWideBuild:
         w = wide.build_wide(tris)
         assert w.num_nodes == 1
 
+    def test_stack_capacity_static(self):
+        """max_stack is shape-encoded (static under jit) and bounds the
+        worst-case SMEM stack occupancy; normal trees fit both kernels."""
+        w = wide.build_wide(random_tris(700, seed=6))
+        assert w.max_depth == w.depth_token.shape[0] >= 1
+        assert w.max_stack == (wide.WIDTH - 1) * w.max_depth + 1
+        assert packet.stack_ok(w, hbm=False)
+        assert packet.stack_ok(w, hbm=True)
+
 
 class TestPacketTraversal:
     @pytest.mark.parametrize("n_tris,seed", [(37, 4), (700, 5)])
