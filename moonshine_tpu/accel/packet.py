@@ -493,29 +493,38 @@ def any_hit_packet(wbvh: WideBVH, ray_o, ray_d, t_max,
                         hbm=False)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sort"))
 def closest_hit_packet_hbm(wbvh: WideBVH, ray_o, ray_d, t_max,
-                           active_in=None, interpret: bool | None = None) -> Hit:
+                           active_in=None, interpret: bool | None = None,
+                           sort: bool = True) -> Hit:
     """HBM-streaming variant for scenes beyond the VMEM budget. Rays are
-    coherence-sorted first: big scenes live or die by the block working
-    set."""
+    coherence-sorted first (big scenes live or die by the block working
+    set) unless the caller already keeps its batch sorted (sort=False —
+    the integrator's per-bounce state resort)."""
     if interpret is None:
         interpret = _use_interpret()
     if interpret:
         # interpret mode has no DMA engine; logic is identical anyway
         return _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, True,
                              hbm=False)
+    if not sort:
+        return _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, False,
+                             hbm=True)
     return _sorted_dispatch(_closest_impl, wbvh, ray_o, ray_d, t_max,
                             active_in, False, hbm=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sort"))
 def any_hit_packet_hbm(wbvh: WideBVH, ray_o, ray_d, t_max,
-                       active_in=None, interpret: bool | None = None):
+                       active_in=None, interpret: bool | None = None,
+                       sort: bool = True):
     if interpret is None:
         interpret = _use_interpret()
     if interpret:
         return _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, True,
                             hbm=False)
+    if not sort:
+        return _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, False,
+                            hbm=True)
     return _sorted_dispatch(_anyhit_impl, wbvh, ray_o, ray_d, t_max,
                             active_in, False, hbm=True)

@@ -74,12 +74,16 @@ class WideBVH(NamedTuple):
         return (WIDTH - 1) * self.max_depth + 1
 
 
-def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH:
-    """tri_verts: [T, 3, 3] world space."""
+def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
+               leaf_cap: int = LEAF_CAP) -> WideBVH:
+    """tri_verts: [T, 3, 3] world space. leaf_cap <= 8 bounds triangles per
+    fat leaf (rows keep the 8-slot layout; unused slots are zeroed)."""
+    assert 1 <= leaf_cap <= 8
     tri_verts = np.asarray(tri_verts, np.float32)
     T = len(tri_verts)
     if binary is None:
-        binary = lbvh.build(tri_verts, leaf_size=4, pad_nodes_to_pow2=False)
+        binary = lbvh.build(tri_verts, leaf_size=min(4, leaf_cap),
+                            pad_nodes_to_pow2=False)
 
     b_left = np.asarray(binary.left).astype(np.int64)
     b_count = np.asarray(binary.count).astype(np.int64)
@@ -110,7 +114,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
     # slots[f, j] = binary node id or -1
     EMPTY = np.int64(-1)
     frontier = np.asarray([[0] + [-1] * (WIDTH - 1)], np.int64)
-    if T <= LEAF_CAP and is_leaf[0]:
+    if T <= leaf_cap and is_leaf[0]:
         # single-leaf degenerate scene
         frontier = frontier  # root stays, handled below
 
@@ -124,7 +128,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
         for _ in range(WIDTH - 1):
             valid = slots >= 0
             cnt = np.where(valid, counts[np.clip(slots, 0, M - 1)], -1)
-            splittable = valid & ~is_leaf[np.clip(slots, 0, M - 1)] & (cnt > LEAF_CAP)
+            splittable = valid & ~is_leaf[np.clip(slots, 0, M - 1)] & (cnt > leaf_cap)
             has_free = (~valid).sum(axis=1) > 0
             cand = np.where(splittable, cnt, -1)
             best = cand.argmax(axis=1)
@@ -144,7 +148,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
         all_rows.append(slots)
         # children that stay internal (count > LEAF_CAP) spawn next frontier
         valid = slots >= 0
-        child_internal = valid & (counts[np.clip(slots, 0, M - 1)] > LEAF_CAP)
+        child_internal = valid & (counts[np.clip(slots, 0, M - 1)] > leaf_cap)
         next_nodes = slots[child_internal]
         frontier = (
             np.concatenate(
@@ -161,7 +165,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
     W = len(slots_all)
     valid = slots_all >= 0
     sl = np.clip(slots_all, 0, M - 1)
-    child_internal = valid & (counts[sl] > LEAF_CAP)
+    child_internal = valid & (counts[sl] > leaf_cap)
     child_leaf = valid & ~child_internal
 
     # wide-node ids for internal children: they are exactly the next-level
@@ -236,23 +240,24 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None) -> WideBVH
     leaf_nodes = slots_all[child_leaf]
     leaf_starts = starts[leaf_nodes]
     leaf_counts = counts[leaf_nodes]
-    tri_idx = leaf_starts[:, None] + np.arange(LEAF_CAP)[None, :]
-    in_range = np.arange(LEAF_CAP)[None, :] < leaf_counts[:, None]
+    tri_idx = leaf_starts[:, None] + np.arange(leaf_cap)[None, :]
+    in_range = np.arange(leaf_cap)[None, :] < leaf_counts[:, None]
     tri_idx = np.clip(tri_idx, 0, T - 1)
     orig = order[tri_idx]  # [L, 8] original triangle ids
     v = tri_verts[orig]  # [L, 8, 3, 3]
     leaves = np.zeros((max(n_leaves, 1), 128), np.float32)
+    leaves[:, 72:80] = -1.0
     if n_leaves:
         data = np.zeros((n_leaves, 9, WIDTH), np.float32)
-        data[:, 0:3, :] = v[:, :, 0].transpose(0, 2, 1)
-        data[:, 3:6, :] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
-        data[:, 6:9, :] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
+        data[:, 0:3, :leaf_cap] = v[:, :, 0].transpose(0, 2, 1)
+        data[:, 3:6, :leaf_cap] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
+        data[:, 6:9, :leaf_cap] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
         # zero padding slots so degenerate tris never hit
-        data *= in_range[:, None, :]
+        data[:, :, :leaf_cap] *= in_range[:, None, :]
         leaves[:, 0:72] = data.reshape(n_leaves, 72)
-        leaves[:, 72:80] = np.where(in_range, orig, -1).astype(np.float32)
-    else:
-        leaves[:, 72:80] = -1.0
+        leaves[:, 72 : 72 + leaf_cap] = np.where(
+            in_range, orig, -1
+        ).astype(np.float32)
 
     bounds = np.stack(
         [tri_verts.min(axis=(0, 1)), tri_verts.max(axis=(0, 1))]

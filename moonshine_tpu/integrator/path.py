@@ -185,7 +185,8 @@ def _closest(scene, o, d, t_max, active):
         if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
             return packet.closest_hit_packet(wide, o, d, t_max, active_in=active)
         if packet.stack_ok(wide, hbm=True):
-            return packet.closest_hit_packet_hbm(wide, o, d, t_max, active_in=active)
+            return packet.closest_hit_packet_hbm(wide, o, d, t_max,
+                                                 active_in=active)
     return traverse.closest_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
@@ -197,7 +198,8 @@ def _any_hit(scene, o, d, t_max, active):
         if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
             return packet.any_hit_packet(wide, o, d, t_max, active_in=active)
         if packet.stack_ok(wide, hbm=True):
-            return packet.any_hit_packet_hbm(wide, o, d, t_max, active_in=active)
+            return packet.any_hit_packet_hbm(wide, o, d, t_max,
+                                             active_in=active)
     return traverse.any_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
@@ -321,6 +323,7 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False):
             last_delta=last_delta,
             rng=rng,
             rays=rays,
+            pix=st["pix"],
         )
 
     active = land(active, bounce < cfg.max_bounces + 1)
@@ -431,7 +434,18 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False):
         last_delta=is_delta,
         rng=rng,
         rays=rays,
+        pix=st["pix"],
     )
+
+
+# NOTE (measured, round 2): re-sorting the WHOLE lane state once per bounce
+# (so every dispatch sees coherence-sorted rays and the HBM wrappers skip
+# their per-dispatch sort) is a net LOSS end-to-end: inside the fused
+# pipeline the ~13 shared-permutation gathers do NOT fuse into one pass
+# (~65 ms/bounce at 262k lanes vs ~7 ms when benchmarked standalone), and
+# every ladder rung regressed (furnace 8.2->5.0, cornell 28.6->9.1,
+# room 0.93->0.75 Mrays/s). Per-dispatch ray-only sorting in the HBM
+# wrappers remains the winning arrangement; don't re-try state resorting.
 
 
 def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
@@ -459,6 +473,7 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
         last_delta=jnp.zeros(N, bool),
         rng=rng_state,
         rays=jnp.asarray(0.0, f32),
+        pix=jnp.arange(N, dtype=jnp.int32),
     )
 
     n_segments = cfg.max_bounces + 2

@@ -148,7 +148,10 @@ class World:
 
     # --- freeze ---
 
-    def build(self) -> DeviceScene:
+    def build(self, builder: str = "karras") -> DeviceScene:
+        """Freeze to device arrays. builder: 'karras' (Morton/LBVH, fastest
+        build, refit-friendly) or 'sah' (binned SAH — higher tree quality,
+        measured ~10% on incoherent closest-hit; build is ~2x slower)."""
         mat_table, mat_atlas = _build_materials(
             self.materials, MaterialBlockBuilder()
         )
@@ -171,7 +174,10 @@ class World:
             prim_ids = np.zeros(1, np.int32)
             T = 1
 
-        bvh = lbvh.build(verts)
+        if builder == "sah":
+            bvh = lbvh.build_sah(verts)
+        else:
+            bvh = lbvh.build(verts)
         # small scenes traverse from VMEM, big ones stream rows from HBM —
         # the dispatch in integrator.path picks per scene size
         wide = wide_bvh.build_wide(verts, binary=bvh)
