@@ -19,6 +19,53 @@ from .camera import LensArrays, generate_rays, pixel_uv
 from .sensor import Sensor, accumulate
 
 
+# 2D tile shape for lane ordering: one 8192-lane traversal packet per
+# 64x128-pixel tile. Lanes keep the same pixel for the whole trace, so
+# tile-major order makes every dispatch's blocks cover a compact image
+# region instead of a full-width scanline strip — packet unions (and with
+# them traversal cost) track ray-origin locality across all bounces.
+# Pure reshape/transpose both ways; RNG is (sample, x, y)-keyed, so the
+# image is bit-identical to scanline order.
+TILE_H, TILE_W = 64, 128
+
+
+def _pixel_coords(height: int, width: int):
+    """(py, px, unpack) — tile-major when the image spans multiple tiles,
+    scanline otherwise. `unpack(flat [N, C]) -> [height, width, C]`."""
+    if height % TILE_H or width % TILE_W:
+        # non-multiple sizes keep scanline order (tests, thumbnails, pick)
+        ys, xs = jnp.meshgrid(
+            jnp.arange(height, dtype=jnp.uint32),
+            jnp.arange(width, dtype=jnp.uint32),
+            indexing="ij",
+        )
+        return ys.reshape(-1), xs.reshape(-1), (
+            lambda flat: flat.reshape(height, width, -1)
+        )
+    ty, tx = height // TILE_H, width // TILE_W
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.uint32),
+        jnp.arange(width, dtype=jnp.uint32),
+        indexing="ij",
+    )
+
+    def tiled(a):
+        return (
+            a.reshape(ty, TILE_H, tx, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+
+    def unpack(flat):
+        return (
+            flat.reshape(ty, tx, TILE_H, TILE_W, -1)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(height, width, -1)
+        )
+
+    return tiled(ys), tiled(xs), unpack
+
+
 @partial(jax.jit, static_argnames=("height", "width", "cfg", "flip_image"))
 def render_sample(scene, lens: LensArrays, height: int, width: int,
                   sample_index, cfg: PathConfig, flip_image: bool = True):
@@ -28,13 +75,7 @@ def render_sample(scene, lens: LensArrays, height: int, width: int,
     by (sample_index, x, y) (main.hlsl:85) so any chunking/sharding of this
     dispatch produces identical images.
     """
-    ys, xs = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.uint32),
-        jnp.arange(width, dtype=jnp.uint32),
-        indexing="ij",
-    )
-    px = xs.reshape(-1)
-    py = ys.reshape(-1)
+    py, px, unpack = _pixel_coords(height, width)
     rng = R.seed(jnp.asarray(sample_index, jnp.uint32), px, py)
 
     rng, jitter = R.next_float2(rng)
@@ -43,7 +84,7 @@ def render_sample(scene, lens: LensArrays, height: int, width: int,
     o, d = generate_rays(lens, width, height, uv, ap)
 
     radiance, rng, rays = trace_paths(scene, o, d, rng, cfg)
-    return radiance.reshape(height, width, 3), rays
+    return unpack(radiance), rays
 
 
 @partial(jax.jit, static_argnames=("height", "width", "spp", "cfg",
