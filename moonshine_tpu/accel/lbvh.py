@@ -54,6 +54,40 @@ class BVH(NamedTuple):
     parent: jnp.ndarray  # [M] i32, -1 for root
 
 
+
+def _to_bvh(aabb_min, aabb_max, left, count, escape, order,
+            num_nodes, num_tris, parent, as_numpy):
+    """as_numpy=True keeps host arrays (no device upload): used by World so
+    the build's topology can be cached for host-side refits and converted
+    to device arrays exactly once via `device_bvh`."""
+    conv = (lambda a, dt: np.asarray(a, dt)) if as_numpy else \
+           (lambda a, dt: jnp.asarray(a, dt))
+    return BVH(
+        aabb_min=conv(aabb_min, np.float32),
+        aabb_max=conv(aabb_max, np.float32),
+        left=conv(left, np.int32),
+        count=conv(count, np.int32),
+        escape=conv(escape, np.int32),
+        tri_order=conv(order, np.int32),
+        num_nodes=num_nodes,
+        num_tris=num_tris,
+        parent=conv(parent, np.int32),
+    )
+
+
+def device_bvh(bvh: BVH) -> BVH:
+    """Upload a host (numpy) BVH's arrays to the device."""
+    return bvh._replace(
+        aabb_min=jnp.asarray(bvh.aabb_min),
+        aabb_max=jnp.asarray(bvh.aabb_max),
+        left=jnp.asarray(bvh.left),
+        count=jnp.asarray(bvh.count),
+        escape=jnp.asarray(bvh.escape),
+        tri_order=jnp.asarray(bvh.tri_order),
+        parent=jnp.asarray(bvh.parent),
+    )
+
+
 def _expand_bits(v: np.ndarray) -> np.ndarray:
     """Spread the low 10 bits of v to every third bit (Morton helper)."""
     v = v.astype(np.uint64)
@@ -163,6 +197,7 @@ def build(
     tri_verts: np.ndarray,
     leaf_size: int = 4,
     pad_nodes_to_pow2: bool = True,
+    as_numpy: bool = False,
 ) -> BVH:
     """Build a flattened BVH over [T, 3, 3] world-space triangle vertices."""
     tri_verts = np.asarray(tri_verts, np.float32)
@@ -178,7 +213,8 @@ def build(
     keys = (codes[order] << np.uint64(32)) | np.arange(T, dtype=np.uint64)
 
     if T == 1:
-        return _single_leaf_bvh(tri_verts, order, pad_nodes_to_pow2)
+        return _single_leaf_bvh(tri_verts, order, pad_nodes_to_pow2,
+                                as_numpy=as_numpy)
 
     left_c, right_c, range_lo, range_hi = _karras_topology(keys)
     n_internal = T - 1
@@ -190,7 +226,8 @@ def build(
     # the root must exist even if T <= leaf_size
     keep_internal[0] = keep_internal[0] or T > leaf_size
     if T <= leaf_size:
-        return _single_leaf_bvh(tri_verts, order, pad_nodes_to_pow2, T)
+        return _single_leaf_bvh(tri_verts, order, pad_nodes_to_pow2, T,
+                                as_numpy=as_numpy)
 
     # a child pointer becomes a leaf if it points at (a) a Karras leaf or
     # (b) an internal node with range_size <= leaf_size
@@ -330,17 +367,8 @@ def build(
             escape = np.pad(escape, (0, pad), constant_values=SENTINEL)
             parent = np.pad(parent, (0, pad), constant_values=-1)
 
-    return BVH(
-        aabb_min=jnp.asarray(aabb_min),
-        aabb_max=jnp.asarray(aabb_max),
-        left=jnp.asarray(node_left, jnp.int32),
-        count=jnp.asarray(node_count, jnp.int32),
-        escape=jnp.asarray(escape, jnp.int32),
-        tri_order=jnp.asarray(order, jnp.int32),
-        num_nodes=M,
-        num_tris=T,
-        parent=jnp.asarray(parent, jnp.int32),
-    )
+    return _to_bvh(aabb_min, aabb_max, node_left, node_count, escape,
+                   order, M, T, parent, as_numpy)
 
 
 def _ranges_to_members(lo: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -365,6 +393,7 @@ def build_sah(
     leaf_size: int = 4,
     n_bins: int = 16,
     pad_nodes_to_pow2: bool = True,
+    as_numpy: bool = False,
 ) -> BVH:
     """Top-down binned-SAH BVH (same flattened layout as `build`).
 
@@ -383,7 +412,7 @@ def build_sah(
         raise ValueError("cannot build a BVH over zero triangles")
     if T <= leaf_size:
         return _single_leaf_bvh(tri_verts, np.arange(T, dtype=np.int64),
-                                pad_nodes_to_pow2, T)
+                                pad_nodes_to_pow2, T, as_numpy=as_numpy)
 
     cent = tri_verts.mean(axis=1).astype(np.float64)
     tmin = tri_verts.min(axis=1).astype(np.float64)
@@ -572,36 +601,20 @@ def _finalize_topdown(tri_verts, order, node_lo, node_len, child_left,
             escape = np.pad(escape, (0, pad), constant_values=SENTINEL)
             parent = np.pad(parent, (0, pad), constant_values=-1)
 
-    return BVH(
-        aabb_min=jnp.asarray(aabb_min),
-        aabb_max=jnp.asarray(aabb_max),
-        left=jnp.asarray(node_left, jnp.int32),
-        count=jnp.asarray(node_count, jnp.int32),
-        escape=jnp.asarray(escape, jnp.int32),
-        tri_order=jnp.asarray(order, jnp.int32),
-        num_nodes=M,
-        num_tris=len(tri_verts),
-        parent=jnp.asarray(parent, jnp.int32),
-    )
+    return _to_bvh(aabb_min, aabb_max, node_left, node_count, escape,
+                   order, M, len(tri_verts), parent, as_numpy)
 
 
-def _single_leaf_bvh(tri_verts, order, pad, count=None):
+def _single_leaf_bvh(tri_verts, order, pad, count=None, as_numpy=False):
     """Degenerate tree: the root is the only (leaf) node."""
     T = count if count is not None else 1
     sorted_verts = tri_verts[order]
     amin = sorted_verts.min(axis=(0, 1))[None]
     amax = sorted_verts.max(axis=(0, 1))[None]
-    return BVH(
-        aabb_min=jnp.asarray(amin, jnp.float32),
-        aabb_max=jnp.asarray(amax, jnp.float32),
-        left=jnp.zeros(1, jnp.int32),
-        count=jnp.full(1, T, jnp.int32),
-        escape=jnp.full(1, SENTINEL, jnp.int32),
-        tri_order=jnp.asarray(order, jnp.int32),
-        num_nodes=1,
-        num_tris=len(tri_verts),
-        parent=jnp.full(1, -1, jnp.int32),
-    )
+    return _to_bvh(amin, amax, np.zeros(1, np.int32),
+                   np.full(1, T, np.int32), np.full(1, SENTINEL, np.int32),
+                   order, 1, len(tri_verts), np.full(1, -1, np.int32),
+                   as_numpy)
 
 
 def refit(bvh: BVH, tri_verts: jnp.ndarray, max_leaf_size: int = 4, depth_bound: int = 70) -> BVH:
@@ -644,3 +657,46 @@ def refit(bvh: BVH, tri_verts: jnp.ndarray, max_leaf_size: int = 4, depth_bound:
 
     lo, hi = jax.lax.fori_loop(0, depth_bound, body, (lo, hi))
     return bvh._replace(aabb_min=lo, aabb_max=hi)
+
+
+def refit_host(left: np.ndarray, count: np.ndarray, escape: np.ndarray,
+               tri_order: np.ndarray, tri_verts: np.ndarray,
+               depth_bound: int = 70) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy refit: recompute node AABBs for moved vertices, topology fixed.
+
+    Host-side twin of `refit` (the jnp version) for the interactive-edit
+    path (World refit, Accel.zig:567-679 recordRebuild semantics): the whole
+    rebuild stays on the host and uploads once, instead of paying a device
+    round-trip per edit. Returns (aabb_min, aabb_max) as [M, 3] float32.
+    """
+    tri_verts = np.asarray(tri_verts, np.float32)
+    sorted_verts = tri_verts[np.asarray(tri_order)]
+    tri_min = sorted_verts.min(axis=1)
+    tri_max = sorted_verts.max(axis=1)
+
+    left = np.asarray(left)
+    count = np.asarray(count)
+    escape = np.asarray(escape)
+    M = len(left)
+    T = len(tri_verts)
+    is_leaf = count > 0
+    lo = np.full((M, 3), np.inf, np.float32)
+    hi = np.full((M, 3), -np.inf, np.float32)
+    for j in range(int(count.max(initial=0))):
+        take = is_leaf & (j < count)
+        idx = np.clip(left + j, 0, T - 1)
+        lo[take] = np.minimum(lo[take], tri_min[idx[take]])
+        hi[take] = np.maximum(hi[take], tri_max[idx[take]])
+
+    left_child = np.clip(left, 0, M - 1)
+    right_child = np.clip(escape[left_child], 0, M - 1)
+    internal = ~is_leaf
+    for _ in range(depth_bound):
+        nlo = np.where(internal[:, None],
+                       np.minimum(lo[left_child], lo[right_child]), lo)
+        nhi = np.where(internal[:, None],
+                       np.maximum(hi[left_child], hi[right_child]), hi)
+        if np.array_equal(nlo, lo) and np.array_equal(nhi, hi):
+            break
+        lo, hi = nlo, nhi
+    return lo, hi

@@ -39,6 +39,30 @@ LEAF_CAP = 8
 WIDTH = 8
 
 
+class WideTopology(NamedTuple):
+    """Host-side (numpy) record of everything geometry-independent about a
+    wide BVH: which binary node fills each child slot, the child pointers,
+    and each leaf's triangle ids. `assemble_rows` turns it plus fresh
+    binary-node AABBs + triangle vertices into node/leaf rows — the wide
+    analogue of the reference's TLAS update-mode rebuild (Accel.zig:567-679).
+
+    Child slot order and the dominant axis (col 56) are frozen at build:
+    after large motion the near-first ordering degrades (ordering is a
+    performance hint, never a correctness input), exactly like a refit
+    hardware TLAS degrades until the next full rebuild.
+    """
+
+    sl: np.ndarray  # [W, 8] i64 binary node id per child slot (clipped)
+    valid: np.ndarray  # [W, 8] bool
+    ptr: np.ndarray  # [W, 8] i64 child pointers (wide id / -1 / -2-leaf)
+    node_axis: np.ndarray  # [W] i64
+    leaf_nodes: np.ndarray  # [L] i64 binary node id per leaf
+    orig: np.ndarray  # [L, 8] i64 original triangle ids
+    in_range: np.ndarray  # [L, 8] bool occupied tri slots
+    n_levels: int
+    leaf_cap: int
+
+
 class WideBVH(NamedTuple):
     """Node/leaf records are single 128-float rows so one aligned DMA (or
     one VMEM row) fetches a whole visit:
@@ -74,10 +98,67 @@ class WideBVH(NamedTuple):
         return (WIDTH - 1) * self.max_depth + 1
 
 
+def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
+                  tri_verts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Node/leaf rows from frozen topology + current binary-node AABBs +
+    current triangle vertices. Pure numpy; called by build and refit."""
+    W_n = len(topo.sl)
+    cap = topo.leaf_cap
+    valid, sl = topo.valid, topo.sl
+    nodes = np.zeros((W_n, 128), np.float32)
+    nodes[:, 0:24] = np.where(
+        valid[:, None, :], b_min[sl].transpose(0, 2, 1), 0.0
+    ).reshape(W_n, 24)
+    nodes[:, 24:48] = np.where(
+        valid[:, None, :], b_max[sl].transpose(0, 2, 1), 0.0
+    ).reshape(W_n, 24)
+    nodes[:, 48:56] = topo.ptr.astype(np.float32)
+    nodes[:, 56] = topo.node_axis.astype(np.float32)
+
+    L = len(topo.leaf_nodes)
+    leaves = np.zeros((max(L, 1), 128), np.float32)
+    leaves[:, 72:80] = -1.0
+    if L:
+        v = tri_verts[topo.orig]  # [L, cap, 3, 3]
+        data = np.zeros((L, 9, WIDTH), np.float32)
+        data[:, 0:3, :cap] = v[:, :, 0].transpose(0, 2, 1)
+        data[:, 3:6, :cap] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
+        data[:, 6:9, :cap] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
+        # zero padding slots so degenerate tris never hit
+        data[:, :, :cap] *= topo.in_range[:, None, :]
+        leaves[:, 0:72] = data.reshape(L, 72)
+        leaves[:, 72 : 72 + cap] = np.where(
+            topo.in_range, topo.orig, -1
+        ).astype(np.float32)
+    return nodes, leaves
+
+
+def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
+               tri_verts: np.ndarray) -> WideBVH:
+    """Rebuild wide rows for moved geometry without touching topology.
+    `b_min`/`b_max` come from a binary refit (lbvh.refit_host); shapes are
+    identical to the original build, so jitted traces are reused verbatim."""
+    tri_verts = np.asarray(tri_verts, np.float32)
+    nodes, leaves = assemble_rows(topo, b_min, b_max, tri_verts)
+    bounds = np.stack(
+        [tri_verts.min(axis=(0, 1)), tri_verts.max(axis=(0, 1))]
+    ).astype(np.float32)
+    return WideBVH(
+        nodes=jnp.asarray(nodes),
+        leaves=jnp.asarray(leaves),
+        bounds=jnp.asarray(bounds),
+        depth_token=jnp.zeros((topo.n_levels,), jnp.uint8),
+        num_nodes=len(nodes),
+        num_leaves=len(leaves),
+        num_tris=len(tri_verts),
+    )
+
+
 def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
-               leaf_cap: int = LEAF_CAP) -> WideBVH:
+               leaf_cap: int = LEAF_CAP, with_topology: bool = False):
     """tri_verts: [T, 3, 3] world space. leaf_cap <= 8 bounds triangles per
-    fat leaf (rows keep the 8-slot layout; unused slots are zeroed)."""
+    fat leaf (rows keep the 8-slot layout; unused slots are zeroed).
+    with_topology=True also returns the WideTopology for later refits."""
     assert 1 <= leaf_cap <= 8
     tri_verts = np.asarray(tri_verts, np.float32)
     T = len(tri_verts)
@@ -224,50 +305,24 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     valid = np.take_along_axis(valid, slot_order, axis=1)
     ptr = np.take_along_axis(ptr, slot_order, axis=1)
 
-    # node rows: boxes from binary AABBs + f32-encoded child pointers
     assert W < (1 << 24) and T < (1 << 24), "f32 id encoding cap exceeded"
-    nodes = np.zeros((W, 128), np.float32)
-    nodes[:, 0:24] = np.where(
-        valid[:, None, :], b_min[sl].transpose(0, 2, 1), 0.0
-    ).reshape(W, 24)
-    nodes[:, 24:48] = np.where(
-        valid[:, None, :], b_max[sl].transpose(0, 2, 1), 0.0
-    ).reshape(W, 24)
-    nodes[:, 48:56] = ptr.astype(np.float32)
-    nodes[:, 56] = node_axis.astype(np.float32)
 
-    # leaf rows: each leaf child covers sorted range [start, start+count)
+    # leaf triangle ids: each leaf child covers sorted range
+    # [start, start+count) of the Morton order — topology, not geometry.
+    # leaf ids were numbered over the PRE-sort flat slot order above, so
+    # leaf_nodes must index the unsorted slots.
     leaf_nodes = slots_all[child_leaf]
     leaf_starts = starts[leaf_nodes]
     leaf_counts = counts[leaf_nodes]
     tri_idx = leaf_starts[:, None] + np.arange(leaf_cap)[None, :]
     in_range = np.arange(leaf_cap)[None, :] < leaf_counts[:, None]
     tri_idx = np.clip(tri_idx, 0, T - 1)
-    orig = order[tri_idx]  # [L, 8] original triangle ids
-    v = tri_verts[orig]  # [L, 8, 3, 3]
-    leaves = np.zeros((max(n_leaves, 1), 128), np.float32)
-    leaves[:, 72:80] = -1.0
-    if n_leaves:
-        data = np.zeros((n_leaves, 9, WIDTH), np.float32)
-        data[:, 0:3, :leaf_cap] = v[:, :, 0].transpose(0, 2, 1)
-        data[:, 3:6, :leaf_cap] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
-        data[:, 6:9, :leaf_cap] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
-        # zero padding slots so degenerate tris never hit
-        data[:, :, :leaf_cap] *= in_range[:, None, :]
-        leaves[:, 0:72] = data.reshape(n_leaves, 72)
-        leaves[:, 72 : 72 + leaf_cap] = np.where(
-            in_range, orig, -1
-        ).astype(np.float32)
+    orig = order[tri_idx]  # [L, leaf_cap] original triangle ids
 
-    bounds = np.stack(
-        [tri_verts.min(axis=(0, 1)), tri_verts.max(axis=(0, 1))]
-    ).astype(np.float32)
-    return WideBVH(
-        nodes=jnp.asarray(nodes),
-        leaves=jnp.asarray(leaves),
-        bounds=jnp.asarray(bounds),
-        depth_token=jnp.zeros((max(len(all_rows), 1),), jnp.uint8),
-        num_nodes=W,
-        num_leaves=max(n_leaves, 1),
-        num_tris=T,
+    topo = WideTopology(
+        sl=sl, valid=valid, ptr=ptr, node_axis=node_axis,
+        leaf_nodes=leaf_nodes, orig=orig, in_range=in_range,
+        n_levels=max(len(all_rows), 1), leaf_cap=leaf_cap,
     )
+    wbvh = refit_wide(topo, b_min, b_max, tri_verts)
+    return (wbvh, topo) if with_topology else wbvh

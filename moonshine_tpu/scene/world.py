@@ -18,10 +18,20 @@ Per-triangle corner attributes are precomputed at build:
     geometric normal computed from world positions keeps the reference's
     object-space orientation.
 
-Incremental edit surface (set_transform / set_visibility / update_material)
-mirrors the reference's live-edit paths (Accel.zig:567-679); edits mark the
-world dirty and `build`/`rebuild` re-flattens. A full rebuild on TPU is a
-refit when only transforms changed.
+Incremental edit surface (set_transform / set_visibility / update_material /
+set_background) mirrors the reference's live-edit paths (Accel.zig:567-679,
+hydra.zig:435-513). `build()` is staged: each edit kind dirties only its
+stage, and a rebuild reuses everything clean —
+
+  * transform/visibility edits re-transform the cached object-space flatten
+    and *refit* the binary + wide BVHs host-side (lbvh.refit_host +
+    wide.refit_wide), the TLAS-update analogue. Hidden instances collapse
+    to zero-area point triangles instead of leaving the arrays, so every
+    refit keeps identical array shapes — jitted render traces are reused
+    with no recompilation (the XLA analogue of in-place GPU buffer updates).
+  * material edits rebuild only the material table + texture atlas.
+  * background edits rebuild only the envmap.
+  * adding meshes/instances (topology) triggers the full build.
 """
 
 from __future__ import annotations
@@ -103,8 +113,32 @@ class DeviceScene(NamedTuple):
         return row[:, 0:9].reshape(*tri_ids.shape, 3, 3)
 
 
+@dataclass
+class _FlattenCache:
+    """Everything geometry-edit-invariant about the flattened scene: the
+    object-space per-triangle attributes plus the acceleration-structure
+    topology (numpy, host-resident). A transform/visibility edit replays
+    `_world_transform` + host refits over this instead of rebuilding."""
+
+    obj_p: np.ndarray  # [T,3,3] object-space corner positions
+    obj_n: np.ndarray  # [T,3,3] object-space corner normals (resolved)
+    uvs: np.ndarray  # [T,3,2] (pre mirror-swap)
+    mat_ids: np.ndarray  # [T] i32
+    sampled: np.ndarray  # [T] bool
+    inst_ids: np.ndarray  # [T] i32
+    geo_ids: np.ndarray  # [T] i32
+    prim_ids: np.ndarray  # [T] i32
+    slices: list  # per instance id: (start, end) triangle range
+    bvh_host: lbvh.BVH  # numpy-array BVH (topology for refit_host)
+    wide_topo: wide_bvh.WideTopology
+    inv_order: np.ndarray  # [T] i32
+    emitter_tris: np.ndarray  # [E] i64 sampled tri ids (incl. hidden)
+
+
 class World:
-    """Mutable host scene; `build()` freezes it into a DeviceScene."""
+    """Mutable host scene; `build()` freezes it into a DeviceScene.
+    Repeated `build()` calls return the cached scene, rebuilding only the
+    stages whose inputs changed (see module docstring)."""
 
     MAX_TEXTURES = 1024  # parity cap (MaterialManager.zig:286)
 
@@ -114,19 +148,29 @@ class World:
         self.instances: list[Instance] = []
         self._env_equirect: Optional[np.ndarray] = None
         self._env_size: Optional[int] = None
+        self._scene: Optional[DeviceScene] = None
+        self._cache: Optional[_FlattenCache] = None
+        self._builder: Optional[str] = None
+        self._dirty_topology = True
+        self._dirty_transforms = False
+        self._dirty_materials = False
+        self._dirty_env = False
 
     # --- creation API (parity: MeshManager/MaterialManager/Accel upload) ---
 
     def add_mesh(self, mesh: Mesh) -> int:
         self.meshes.append(mesh)
+        self._dirty_topology = True
         return len(self.meshes) - 1
 
     def add_material(self, info: MaterialInfo) -> int:
         self.materials.append(info)
+        self._dirty_materials = True
         return len(self.materials) - 1
 
     def add_instance(self, instance: Instance) -> int:
         self.instances.append(instance)
+        self._dirty_topology = True
         return len(self.instances) - 1
 
     def set_background(self, equirect_rgb: Optional[np.ndarray], size: Optional[int] = None):
@@ -134,35 +178,80 @@ class World:
         (BackgroundManager.addDefaultBackground)."""
         self._env_equirect = equirect_rgb
         self._env_size = size
+        self._dirty_env = True
 
     # --- live-edit surface (parity: Accel.zig:567-679, hydra.zig:435-513) ---
 
     def set_transform(self, instance: int, transform: np.ndarray):
         self.instances[instance].transform = np.asarray(transform, np.float32)
+        self._dirty_transforms = True
 
     def set_visibility(self, instance: int, visible: bool):
         self.instances[instance].visible = visible
+        self._dirty_transforms = True
 
     def update_material(self, handle: int, info: MaterialInfo):
         self.materials[handle] = info
+        self._dirty_materials = True
 
     # --- freeze ---
 
     def build(self, builder: str = "karras") -> DeviceScene:
         """Freeze to device arrays. builder: 'karras' (Morton/LBVH, fastest
         build, refit-friendly) or 'sah' (binned SAH — higher tree quality,
-        measured ~10% on incoherent closest-hit; build is ~2x slower)."""
+        measured ~10% on incoherent closest-hit; build is ~2x slower).
+
+        Returns the cached scene when nothing changed; rebuilds only dirty
+        stages otherwise (transform edits refit, material/env edits swap
+        just their tables)."""
+        if self._builder is not None and builder != self._builder:
+            self._dirty_topology = True
+        self._builder = builder
+
+        if self._scene is not None and not (
+            self._dirty_topology or self._dirty_transforms
+            or self._dirty_materials or self._dirty_env
+        ):
+            return self._scene
+
+        if self._scene is None or self._dirty_topology:
+            scene = self._full_build(builder)
+            self._dirty_materials = self._dirty_env = False
+            self._dirty_transforms = False
+        else:
+            scene = self._scene
+            if self._dirty_transforms:
+                scene = self._refit(scene)
+                self._dirty_transforms = False
+            if self._dirty_materials:
+                mat_table, mat_atlas = _build_materials(
+                    self.materials, MaterialBlockBuilder()
+                )
+                scene = scene._replace(materials=mat_table,
+                                       mat_atlas=mat_atlas)
+                self._dirty_materials = False
+            if self._dirty_env:
+                scene = scene._replace(env=self._build_env())
+                self._dirty_env = False
+
+        self._dirty_topology = False
+        self._scene = scene
+        return scene
+
+    def _build_env(self) -> EnvMap:
+        if self._env_equirect is None:
+            return constant_envmap((1.0, 1.0, 1.0))
+        return build_envmap(self._env_equirect, self._env_size)
+
+    def _full_build(self, builder: str) -> DeviceScene:
         mat_table, mat_atlas = _build_materials(
             self.materials, MaterialBlockBuilder()
         )
 
-        verts, normals, uvs, mat_ids, sampled, inst_ids, geo_ids, prim_ids = (
-            _flatten_instances(self.meshes, self.materials, self.instances)
-        )
-        T = len(verts)
-        if T == 0:
-            # empty / fully hidden scene (World.createEmpty parity): a single
-            # degenerate triangle that can never be hit keeps shapes valid
+        cache = _flatten_object(self.meshes, self.instances)
+        if cache is None:
+            # empty scene (World.createEmpty parity): a single degenerate
+            # triangle that can never be hit keeps shapes valid
             verts = np.zeros((1, 3, 3), np.float32)
             normals = np.zeros((1, 3, 3), np.float32)
             normals[:, :, 2] = 1.0
@@ -172,47 +261,102 @@ class World:
             inst_ids = np.full(1, -1, np.int32)
             geo_ids = np.zeros(1, np.int32)
             prim_ids = np.zeros(1, np.int32)
-            T = 1
+        else:
+            verts, normals, uvs = _world_transform(cache, self.instances)
+            mat_ids, sampled = cache.mat_ids, cache.sampled
+            inst_ids, geo_ids, prim_ids = (
+                cache.inst_ids, cache.geo_ids, cache.prim_ids
+            )
+        T = len(verts)
 
         if builder == "sah":
-            bvh = lbvh.build_sah(verts)
+            bvh = lbvh.build_sah(verts, as_numpy=True)
         else:
-            bvh = lbvh.build(verts)
+            bvh = lbvh.build(verts, as_numpy=True)
         # small scenes traverse from VMEM, big ones stream rows from HBM —
         # the dispatch in integrator.path picks per scene size
-        wide = wide_bvh.build_wide(verts, binary=bvh)
+        wide, wide_topo = wide_bvh.build_wide(verts, binary=bvh,
+                                              with_topology=True)
         order = np.asarray(bvh.tri_order)
         inv_order = np.empty(T, np.int64)
         inv_order[order] = np.arange(T)
 
-        emitters = _build_emitters(verts, sampled, mat_ids)
+        emitter_tris = np.nonzero(sampled)[0]
+        emitters = _build_emitters(verts, emitter_tris)
 
-        if self._env_equirect is None:
-            env = constant_envmap((1.0, 1.0, 1.0))
-        else:
-            env = build_envmap(self._env_equirect, self._env_size)
+        if cache is not None:
+            cache.bvh_host = bvh
+            cache.wide_topo = wide_topo
+            cache.inv_order = inv_order
+            cache.emitter_tris = emitter_tris
+        self._cache = cache
 
-        tri_shade = np.zeros((T, 32), np.float32)
-        tri_shade[:, 0:9] = verts.reshape(T, 9)
-        tri_shade[:, 9:18] = normals.reshape(T, 9)
-        tri_shade[:, 18:24] = uvs.reshape(T, 6)
-        tri_shade[:, 24] = mat_ids
-        tri_shade[:, 25] = sampled
-        tri_shade[:, 26] = inst_ids
-        tri_shade[:, 27] = geo_ids
-        tri_shade[:, 28] = prim_ids
+        tri_shade = _pack_tri_shade(
+            verts, normals, uvs, mat_ids, sampled, inst_ids, geo_ids,
+            prim_ids,
+        )
 
         return DeviceScene(
-            bvh=bvh,
+            bvh=lbvh.device_bvh(bvh),
             wide=wide,
             tri_verts_sorted=jnp.asarray(verts[order]),
             inv_order=jnp.asarray(inv_order, jnp.int32),
             tri_shade=jnp.asarray(tri_shade),
             materials=mat_table,
             mat_atlas=mat_atlas,
-            env=env,
+            env=self._build_env(),
             emitters=emitters,
         )
+
+    def _refit(self, scene: DeviceScene) -> DeviceScene:
+        """Transform/visibility edit: re-transform the cached object-space
+        flatten and refit both BVH levels host-side. Every output array
+        keeps its shape, so jitted render functions are reused as-is —
+        the TPU analogue of Accel.recordUpdateSingleTransform +
+        recordRebuild (TLAS refit, Accel.zig:567-679)."""
+        c = self._cache
+        if c is None:
+            return self._full_build(self._builder or "karras")
+        verts, normals, uvs = _world_transform(c, self.instances)
+
+        b = c.bvh_host
+        b_min, b_max = lbvh.refit_host(
+            b.left, b.count, b.escape, b.tri_order, verts
+        )
+        bvh_dev = scene.bvh._replace(
+            aabb_min=jnp.asarray(b_min), aabb_max=jnp.asarray(b_max)
+        )
+        wide = wide_bvh.refit_wide(c.wide_topo, b_min, b_max, verts)
+
+        tri_shade = _pack_tri_shade(
+            verts, normals, uvs, c.mat_ids, c.sampled, c.inst_ids,
+            c.geo_ids, c.prim_ids,
+        )
+        order = np.asarray(b.tri_order)
+        emitters = _build_emitters(verts, c.emitter_tris)
+
+        return scene._replace(
+            bvh=bvh_dev,
+            wide=wide,
+            tri_verts_sorted=jnp.asarray(verts[order]),
+            tri_shade=jnp.asarray(tri_shade),
+            emitters=emitters,
+        )
+
+
+def _pack_tri_shade(verts, normals, uvs, mat_ids, sampled, inst_ids,
+                    geo_ids, prim_ids) -> np.ndarray:
+    T = len(verts)
+    tri_shade = np.zeros((T, 32), np.float32)
+    tri_shade[:, 0:9] = verts.reshape(T, 9)
+    tri_shade[:, 9:18] = normals.reshape(T, 9)
+    tri_shade[:, 18:24] = uvs.reshape(T, 6)
+    tri_shade[:, 24] = mat_ids
+    tri_shade[:, 25] = sampled
+    tri_shade[:, 26] = inst_ids
+    tri_shade[:, 27] = geo_ids
+    tri_shade[:, 28] = prim_ids
+    return tri_shade
 
 
 def _build_materials(materials, builder: MaterialBlockBuilder) -> MaterialTable:
@@ -256,28 +400,23 @@ def _build_materials(materials, builder: MaterialBlockBuilder) -> MaterialTable:
     return MaterialTable(packed=jnp.asarray(packed)), atlas
 
 
-def _flatten_instances(meshes, materials, instances):
-    verts, normals, uvs = [], [], []
+def _flatten_object(meshes, instances) -> Optional[_FlattenCache]:
+    """Object-space flatten of ALL instances (visible or not — hidden ones
+    stay in the arrays so visibility toggles are shape-preserving refits).
+    Returns None for a scene with no triangles."""
+    obj_p, obj_n, uvs = [], [], []
     mat_ids, sampled, inst_ids, geo_ids, prim_ids = [], [], [], [], []
+    slices = []
+    t = 0
 
     for inst_id, inst in enumerate(instances):
-        if not inst.visible:
-            continue
-        M = np.asarray(inst.transform, np.float32)
-        lin = M[:, :3]
-        trans = M[:, 3]
-        det = float(np.linalg.det(lin))
-        # normal matrix: inverse-transpose of the linear part
-        nrm_m = np.linalg.inv(lin).T if abs(det) > 1e-20 else lin
-        mirrored = det < 0.0
-
+        start = t
         for geo_id, geo in enumerate(inst.geometries):
             mesh = meshes[geo.mesh]
             idx = np.asarray(mesh.indices, np.int64).reshape(-1, 3)
             F = len(idx)
             pos = np.asarray(mesh.positions, np.float32)
             p = pos[idx]  # [F,3,3] object space
-            pw = p @ lin.T + trans  # world
 
             if mesh.indexed_attributes:
                 attr_idx = idx
@@ -291,8 +430,6 @@ def _flatten_instances(meshes, materials, instances):
                 gl = np.linalg.norm(gn, axis=-1, keepdims=True)
                 gn = gn / np.maximum(gl, 1e-20)
                 nrm = np.repeat(gn[:, None, :], 3, axis=1)
-            nw = nrm @ nrm_m.T
-            nw = nw / np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20)
 
             if mesh.texcoords is not None:
                 uv = np.asarray(mesh.texcoords, np.float32)[attr_idx]
@@ -301,35 +438,78 @@ def _flatten_instances(meshes, materials, instances):
                     np.asarray([[0, 0], [1, 0], [1, 1]], np.float32), (F, 3, 2)
                 ).copy()
 
-            if mirrored:
-                pw = pw[:, [0, 2, 1]]
-                nw = nw[:, [0, 2, 1]]
-                uv = uv[:, [0, 2, 1]]
-
-            verts.append(pw)
-            normals.append(nw)
+            obj_p.append(p)
+            obj_n.append(nrm)
             uvs.append(uv)
             mat_ids.append(np.full(F, geo.material, np.int32))
             sampled.append(np.full(F, geo.sampled, bool))
             inst_ids.append(np.full(F, inst_id, np.int32))
             geo_ids.append(np.full(F, geo_id, np.int32))
             prim_ids.append(np.arange(F, dtype=np.int32))
+            t += F
+        slices.append((start, t))
 
-    cat = lambda xs: np.concatenate(xs, axis=0) if xs else np.zeros((0,))
-    return (
-        cat(verts).astype(np.float32),
-        cat(normals).astype(np.float32),
-        cat(uvs).astype(np.float32),
-        cat(mat_ids),
-        cat(sampled),
-        cat(inst_ids),
-        cat(geo_ids),
-        cat(prim_ids),
+    if t == 0:
+        return None
+    cat = lambda xs: np.concatenate(xs, axis=0)
+    return _FlattenCache(
+        obj_p=cat(obj_p).astype(np.float32),
+        obj_n=cat(obj_n).astype(np.float32),
+        uvs=cat(uvs).astype(np.float32),
+        mat_ids=cat(mat_ids),
+        sampled=cat(sampled),
+        inst_ids=cat(inst_ids),
+        geo_ids=cat(geo_ids),
+        prim_ids=cat(prim_ids),
+        slices=slices,
+        bvh_host=None,  # filled by _full_build
+        wide_topo=None,
+        inv_order=None,
+        emitter_tris=None,
     )
 
 
-def _build_emitters(verts, sampled, mat_ids) -> EmitterTable:
-    emitter_tris = np.nonzero(sampled)[0]
+def _world_transform(cache: _FlattenCache, instances):
+    """Apply per-instance transforms to the cached object-space flatten.
+    Hidden instances collapse to their translation point (zero-area tris
+    Moller-Trumbore can never hit), keeping shapes refit-stable."""
+    T = len(cache.obj_p)
+    verts = np.empty((T, 3, 3), np.float32)
+    normals = np.empty((T, 3, 3), np.float32)
+    uvs = cache.uvs.copy()
+
+    for inst_id, inst in enumerate(instances):
+        s, e = cache.slices[inst_id]
+        if s == e:
+            continue
+        M = np.asarray(inst.transform, np.float32)
+        lin = M[:, :3]
+        trans = M[:, 3]
+        if not inst.visible:
+            verts[s:e] = trans
+            normals[s:e] = np.float32([0, 0, 1])
+            continue
+        det = float(np.linalg.det(lin))
+        nrm_m = np.linalg.inv(lin).T if abs(det) > 1e-20 else lin
+        pw = cache.obj_p[s:e] @ lin.T + trans
+        nw = cache.obj_n[s:e] @ nrm_m.T
+        nw = nw / np.maximum(
+            np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20
+        )
+        if det < 0.0:
+            pw = pw[:, [0, 2, 1]]
+            nw = nw[:, [0, 2, 1]]
+            uvs[s:e] = uvs[s:e][:, [0, 2, 1]]
+        verts[s:e] = pw
+        normals[s:e] = nw
+    return verts, normals, uvs
+
+
+def _build_emitters(verts, emitter_tris) -> EmitterTable:
+    """Alias table over world-space areas of the (fixed) sampled-tri set.
+    Hidden emitters have zero area and zero selection weight; when every
+    emitter is hidden, count drops to 0 so NEE skips mesh lights — the
+    table's SHAPE never changes across refits."""
     if len(emitter_tris) == 0:
         return EmitterTable(
             select=jnp.ones(1, jnp.float32),
@@ -343,10 +523,11 @@ def _build_emitters(verts, sampled, mat_ids) -> EmitterTable:
         np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=-1
     )
     table = alias_table.build(areas)
+    count = int(table.count) if float(table.weight_sum) > 0.0 else 0
     return EmitterTable(
         select=table.select,
         alias=table.alias,
         tri=jnp.asarray(emitter_tris, jnp.int32),
-        count=jnp.asarray(table.count, jnp.int32),
+        count=jnp.asarray(count, jnp.int32),
         weight_sum=jnp.asarray(table.weight_sum, jnp.float32),
     )

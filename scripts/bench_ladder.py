@@ -2,7 +2,10 @@
 chip and prints a table + JSON lines. The driver's bench.py stays the
 single-line flagship metric; this is the detailed view.
 
-Usage: python scripts/bench_ladder.py [--quick]
+Usage: python scripts/bench_ladder.py [--quick] [--full] [--only RUNG]
+  --quick  2 spp per rung instead of 6
+  --full   adds the ~1M-triangle room rung (BASELINE.md rung 4 scale)
+  --only   run a single rung by name (A/B runs)
 """
 
 import argparse
@@ -13,7 +16,15 @@ import time
 import numpy as np
 
 
-def run_rung(name, scene, lens, size, spp, cfg):
+def device_mem_mb():
+    import jax
+
+    stats = jax.devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use") or 0
+    return round(peak / 1e6, 1)
+
+
+def run_rung(name, scene, lens, size, spp, cfg, build_seconds=None):
     import jax.numpy as jnp
     from moonshine_tpu.render.camera import LensArrays
     from moonshine_tpu.render.renderer import render_spp
@@ -38,6 +49,9 @@ def run_rung(name, scene, lens, size, spp, cfg):
         "spp_per_sec": round(spp / dt, 3),
         "seconds_per_spp": round(dt / spp, 4),
     }
+    if build_seconds is not None:
+        result["build_seconds"] = round(build_seconds, 2)
+        result["peak_device_mb"] = device_mem_mb()
     print(json.dumps(result), flush=True)
     return result
 
@@ -45,8 +59,13 @@ def run_rung(name, scene, lens, size, spp, cfg):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--full", action="store_true")
+    p.add_argument("--only", default=None)
     args = p.parse_args(argv)
     spp = 2 if args.quick else 6
+
+    def want(name):
+        return args.only is None or args.only == name
 
     import pathlib
 
@@ -59,69 +78,89 @@ def main(argv=None):
     from moonshine_tpu.scene import gltf
     from moonshine_tpu.scene.procedural import room_scene
     from moonshine_tpu.scene.types import (
-        Geometry, Glass, Instance, Lambert, Lens, MaterialInfo, Mirror,
-        identity_transform, translate,
+        Geometry, Glass, Instance, Lambert, Lens, MaterialInfo, Mesh,
+        Mirror, identity_transform, translate,
     )
     from moonshine_tpu.scene.world import World
 
     results = []
-
-    # 1. furnace
-    w = World()
-    mesh = w.add_mesh(icosphere(3, with_normals=False))
-    mat = w.add_material(MaterialInfo(variant=Lambert(color=(1, 1, 1))))
-    w.add_instance(Instance(transform=identity_transform(),
-                            geometries=[Geometry(mesh, mat)]))
-    w.set_background(None)
     lens = Lens(origin=np.float32([0, -3, 0]), forward=np.float32([0, 1, 0]),
                 up=np.float32([0, 0, 1]), vfov=np.pi / 4)
-    results.append(run_rung(
-        "furnace", w.build(), lens, (256, 256), spp,
-        PathConfig(max_bounces=16, env_samples_per_bounce=0,
-                   mesh_samples_per_bounce=0, unroll=False),
-    ))
+
+    # 1. furnace
+    if want("furnace"):
+        w = World()
+        mesh = w.add_mesh(icosphere(3, with_normals=False))
+        mat = w.add_material(MaterialInfo(variant=Lambert(color=(1, 1, 1))))
+        w.add_instance(Instance(transform=identity_transform(),
+                                geometries=[Geometry(mesh, mat)]))
+        w.set_background(None)
+        results.append(run_rung(
+            "furnace", w.build(), lens, (256, 256), spp,
+            PathConfig(max_bounces=16, env_samples_per_bounce=0,
+                       mesh_samples_per_bounce=0, unroll=False),
+        ))
 
     # 2. cornell box (NEE + MIS)
-    world = gltf.world_from_glb(cornell_box_glb())
-    world.set_background(np.zeros((4, 8, 3), np.float32))
-    clens = gltf.lens_from_glb(cornell_box_glb())
-    results.append(run_rung(
-        "cornell", world.build(), clens, (512, 512), spp,
-        PathConfig(max_bounces=4, env_samples_per_bounce=0,
-                   mesh_samples_per_bounce=1),
-    ))
+    if want("cornell"):
+        world = gltf.world_from_glb(cornell_box_glb())
+        world.set_background(np.zeros((4, 8, 3), np.float32))
+        clens = gltf.lens_from_glb(cornell_box_glb())
+        results.append(run_rung(
+            "cornell", world.build(), clens, (512, 512), spp,
+            PathConfig(max_bounces=4, env_samples_per_bounce=0,
+                       mesh_samples_per_bounce=1),
+        ))
 
     # 3. mirror + glass spheres under an HDR gradient env
-    w = World()
-    sphere = w.add_mesh(icosphere(4))
-    floor = w.add_mesh(__import__("moonshine_tpu.scene.types", fromlist=["Mesh"]).Mesh(
-        positions=np.float32([[-20, -20, -1], [20, -20, -1], [20, 20, -1], [-20, 20, -1]]),
-        indices=np.uint32([[0, 1, 2], [0, 2, 3]])))
-    mats = [w.add_material(MaterialInfo(variant=Mirror())),
-            w.add_material(MaterialInfo(variant=Glass(ior=1.5))),
-            w.add_material(MaterialInfo(variant=Lambert(color=(0.6, 0.6, 0.6))))]
-    for x, m in [(-1.5, 0), (1.5, 1)]:
-        w.add_instance(Instance(transform=translate(x, 0, 0),
-                                geometries=[Geometry(sphere, mats[m])]))
-    w.add_instance(Instance(transform=identity_transform(),
-                            geometries=[Geometry(floor, mats[2])]))
-    sky = np.zeros((64, 128, 3), np.float32)
-    sky[:, :, :] = 0.2
-    sky[8:16, 20:40] = 12.0  # bright "sun" patch: alias-table stress
-    w.set_background(sky, size=64)
-    results.append(run_rung(
-        "mirror_glass", w.build(), lens, (512, 512), spp,
-        PathConfig(max_bounces=8, env_samples_per_bounce=1,
-                   mesh_samples_per_bounce=0),
-    ))
+    if want("mirror_glass"):
+        w = World()
+        sphere = w.add_mesh(icosphere(4))
+        floor = w.add_mesh(Mesh(
+            positions=np.float32([[-20, -20, -1], [20, -20, -1],
+                                  [20, 20, -1], [-20, 20, -1]]),
+            indices=np.uint32([[0, 1, 2], [0, 2, 3]])))
+        mats = [w.add_material(MaterialInfo(variant=Mirror())),
+                w.add_material(MaterialInfo(variant=Glass(ior=1.5))),
+                w.add_material(MaterialInfo(variant=Lambert(color=(0.6, 0.6, 0.6))))]
+        for x, m in [(-1.5, 0), (1.5, 1)]:
+            w.add_instance(Instance(transform=translate(x, 0, 0),
+                                    geometries=[Geometry(sphere, mats[m])]))
+        w.add_instance(Instance(transform=identity_transform(),
+                                geometries=[Geometry(floor, mats[2])]))
+        sky = np.zeros((64, 128, 3), np.float32)
+        sky[:, :, :] = 0.2
+        sky[8:16, 20:40] = 12.0  # bright "sun" patch: alias-table stress
+        w.set_background(sky, size=64)
+        results.append(run_rung(
+            "mirror_glass", w.build(), lens, (512, 512), spp,
+            PathConfig(max_bounces=8, env_samples_per_bounce=1,
+                       mesh_samples_per_bounce=0),
+        ))
 
     # 4. big interior (Salle-de-bain-class stand-in)
-    world, rlens = room_scene(grid=6, subdivisions=4)
-    results.append(run_rung(
-        "room_184k", world.build(), rlens, (512, 512), max(spp // 2, 1),
-        PathConfig(max_bounces=4, env_samples_per_bounce=1,
-                   mesh_samples_per_bounce=1),
-    ))
+    if want("room_184k"):
+        world, rlens = room_scene(grid=6, subdivisions=4)
+        results.append(run_rung(
+            "room_184k", world.build(), rlens, (512, 512), max(spp // 2, 1),
+            PathConfig(max_bounces=4, env_samples_per_bounce=1,
+                       mesh_samples_per_bounce=1),
+        ))
+
+    # 5. ~1M-triangle proof (BASELINE.md rung 4 scale; --full only: the
+    # host BVH build + upload takes a couple of minutes over the tunnel)
+    if (args.full or args.only == "room_1m") and want("room_1m"):
+        world, rlens = room_scene(grid=7, subdivisions=5)
+        t0 = time.perf_counter()
+        scene = world.build()
+        scene.wide.nodes.block_until_ready()
+        build_s = time.perf_counter() - t0
+        results.append(run_rung(
+            "room_1m", scene, rlens, (512, 512), max(spp // 2, 1),
+            PathConfig(max_bounces=4, env_samples_per_bounce=1,
+                       mesh_samples_per_bounce=1),
+            build_seconds=build_s,
+        ))
 
     print("\nrung            tris      Mrays/s   spp/s @res")
     for r in results:
