@@ -86,20 +86,26 @@ def build_envmap(equirect: np.ndarray, size: int | None = None) -> EnvMap:
     # 3x3 supersampled resample (equirectangular_to_equal_area.hlsl:16-29).
     # Convention: rgb[a, b] covers equal-area square coords
     # (u, v) = ((a+.5)/S, (b+.5)/S) — axis 0 is the first square coordinate.
+    # Preprocessing runs on the host CPU backend: the shared jnp mapping
+    # code executes eagerly, and on a tunneled TPU each eager op is a
+    # network round-trip (~100 dispatches made this take minutes).
+    import jax
+
     spd = 3
     acc = np.zeros((S, S, 3), np.float32)
     px = np.arange(S, dtype=np.float32)
-    for i in range(spd):
-        for j in range(spd):
-            sub = np.asarray([1 + i, 1 + j], np.float32) / (spd + 1)
-            u = (px[:, None] + sub[0]) / S
-            v = (px[None, :] + sub[1]) / S
-            uv = np.stack(np.broadcast_arrays(u, v), axis=-1)
-            d = np.asarray(square_to_equal_area_sphere(jnp.asarray(uv)))
-            sph = np.asarray(cartesian_to_spherical(jnp.asarray(d)))
-            src_u = sph[..., 0] / (2 * PI)
-            src_v = sph[..., 1] / PI
-            acc += _bilinear_wrap_x(equirect, src_u, src_v)
+    with jax.default_device(jax.devices("cpu")[0]):
+        for i in range(spd):
+            for j in range(spd):
+                sub = np.asarray([1 + i, 1 + j], np.float32) / (spd + 1)
+                u = (px[:, None] + sub[0]) / S
+                v = (px[None, :] + sub[1]) / S
+                uv = np.stack(np.broadcast_arrays(u, v), axis=-1)
+                d = np.asarray(square_to_equal_area_sphere(jnp.asarray(uv)))
+                sph = np.asarray(cartesian_to_spherical(jnp.asarray(d)))
+                src_u = sph[..., 0] / (2 * PI)
+                src_v = sph[..., 1] / PI
+                acc += _bilinear_wrap_x(equirect, src_u, src_v)
     return _finish(acc / (spd * spd))
 
 
