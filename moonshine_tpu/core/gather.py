@@ -41,7 +41,8 @@ def _mm(table, make_selector_chunk, n):
     """Sum over T-chunks of make_selector_chunk(t0) @ table[t0:t0+chunk]."""
     T, C = table.shape
     Tp = -(-T // _CHUNK) * _CHUNK
-    tab = jnp.pad(table, ((0, Tp - T), (0, 0)))
+    # narrow-storage tables (bf16 atlas) widen on the fly for the matmul
+    tab = jnp.pad(table.astype(jnp.float32), ((0, Tp - T), (0, 0)))
     out = jnp.zeros((n, C), jnp.float32)
     for t0 in range(0, Tp, _CHUNK):
         sel = make_selector_chunk(t0)
@@ -76,7 +77,9 @@ def weighted_gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
     if not _use_mm(T):
         out = 0.0
         for k in range(K):
-            out = out + weights[:, k : k + 1] * table[ids[:, k]]
+            out = out + weights[:, k : k + 1] * table[ids[:, k]].astype(
+                weights.dtype
+            )
         return out
     ids = jnp.clip(ids, 0, T - 1)
     idf = ids.astype(jnp.float32)  # [N, K]

@@ -130,20 +130,37 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     vtx_n = safe_normalize(_interp(bary_u, bary_v, nrms))
     vtx_frame = Frame(n=vtx_n, s=tri_frame.s, t=tri_frame.t).reorthogonalize()
 
-    mat_row = gather_rows(scene.materials.packed, mat_id)  # [N, 8]
+    mat_row = gather_rows(scene.materials.packed, mat_id)  # [N, 16]
     return position, uv, tri_frame, vtx_frame, mat_row, sampled
 
 
 def _decode_material(scene, mat_row, uv):
-    """One material-block fetch -> per-lane material parameters, emitted
-    radiance, and tangent-space normal (material.hlsl loads :146-199 +
-    getEmissive :519-522 + the normal sample of getTextureFrame)."""
-    block = sample_material_block(scene.mat_atlas, mat_row[:, 1:5], uv)
-    color = block[:, TX.COLOR]
-    metalness = block[:, TX.METALNESS]
-    roughness = block[:, TX.ROUGHNESS]
-    emissive = block[:, TX.EMISSIVE]
-    normal_rg = block[:, TX.NORMAL_RG]
+    """Per-lane material parameters, emitted radiance, and tangent-space
+    normal (material.hlsl loads :146-199 + getEmissive :519-522 + the
+    normal sample of getTextureFrame).
+
+    All-constant scenes (static atlas property) read every value straight
+    from the packed material row — no atlas fetches at all. Textured
+    scenes pay two independently-sized block fetches (BSDF maps +
+    emissive)."""
+    if scene.mat_atlas.bsdf_constant:
+        color = mat_row[:, 1:4]
+        metalness = mat_row[:, 4]
+        roughness = mat_row[:, 6]
+        normal_rg = mat_row[:, 10:12]
+    else:
+        block = sample_material_block(scene.mat_atlas.bsdf,
+                                      mat_row[:, 1:5], uv)
+        color = block[:, TX.COLOR]
+        metalness = block[:, TX.METALNESS]
+        roughness = block[:, TX.ROUGHNESS]
+        normal_rg = block[:, TX.NORMAL_RG]
+    if scene.mat_atlas.emissive_constant:
+        emissive = mat_row[:, 7:10]
+    else:
+        block_b = sample_material_block(scene.mat_atlas.emissive,
+                                        mat_row[:, 12:16], uv)
+        emissive = block_b[:, TX.EMISSIVE]
     lanes = B.MaterialLanes(
         type=mat_row[:, 0].astype(jnp.int32),
         color=color,
@@ -172,7 +189,12 @@ def _emissive_at(scene, shade_row, bary):
     uv = _interp(bary[..., 0], bary[..., 1], uvs)
     mat_id = shade_row[:, 24].astype(jnp.int32)
     mat_row = gather_rows(scene.materials.packed, mat_id)
-    block = sample_material_block(scene.mat_atlas, mat_row[:, 1:5], uv)
+    if scene.mat_atlas.emissive_constant:
+        return mat_row[:, 7:10]
+    # emissive lives in its own block (B): the NEE light-eval fetch never
+    # touches the (possibly large) BSDF-map block
+    block = sample_material_block(scene.mat_atlas.emissive,
+                                  mat_row[:, 12:16], uv)
     return block[:, TX.EMISSIVE]
 
 

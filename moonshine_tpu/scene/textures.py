@@ -1,23 +1,30 @@
-"""Material texture storage: one 16-channel block per material.
+"""Material texture storage: two independently-sized blocks per material.
 
 The reference binds up to 1024 independently-sized images through a
 bindless descriptor array and samples five of them per hit (color,
 metalness, roughness, emissive, normal — material.hlsl loads + getEmissive
 + getTextureFrame). Five separate bilinear lookups would be ~25 gathers per
-bounce on TPU, so instead every material's maps are resampled to a common
-per-material resolution at build time and packed channel-wise:
+bounce on TPU, so maps are packed channel-wise into block images fetched
+with one bilinear gather each. Two blocks per material, sized
+independently so a big base-color map doesn't force big storage for maps
+that are constants:
 
-    channels 0-2 color | 3 metalness | 4 roughness | 5-7 emissive
-    | 8-9 normal (rg)  | 10-15 pad
+  block A (BSDF maps, usually authored at one resolution together):
+      channels 0-2 color | 3 metalness | 4 roughness | 5-6 normal (rg) | 7 pad
+  block B (emissive, usually 1x1 black):
+      channels 0-2 emissive | 3-7 pad
 
-One bilinear fetch of the block (4 row gathers of a flat [H*W, 16] atlas)
-decodes the whole material. Repeat-wrap bilinear matches the reference's
-linear-repeat sampler semantics; differently-sized maps inside one material
-are bilinear-upsampled to the largest, a build-time prefilter the reference
-doesn't need (its sampler walks each image separately).
+Differently-sized maps inside one block are bilinear-upsampled to the
+largest (a build-time prefilter the reference's per-image samplers don't
+need). Storage is bfloat16 — TPU-native, and >= the 8-bit precision of
+typical PNG sources — so a 2048^2 fully-textured PBR material costs
+2048^2 * 8ch * 2B = 64 MB instead of the 256 MB a single 16-channel f32
+block did (the reference's native-size RGBA8 images would be ~48 MB for
+the same three 2048^2 maps).
 
-The per-material block rect lives inside the packed material row, so there
-is no separate rect-table gather at all.
+The per-material block rects live inside the packed material row, so there
+is no separate rect-table gather at all. The emissive-only fetch on the
+NEE light-eval path reads just block B.
 """
 
 from __future__ import annotations
@@ -29,17 +36,48 @@ import jax.numpy as jnp
 
 from ..core.gather import weighted_gather_rows
 
-BLOCK_CHANNELS = 16
+BLOCK_CHANNELS = 8
+# block A channels
 COLOR = slice(0, 3)
 METALNESS = 3
 ROUGHNESS = 4
-EMISSIVE = slice(5, 8)
-NORMAL_RG = slice(8, 10)
+NORMAL_RG = slice(5, 7)
+# block B channels
+EMISSIVE = slice(0, 3)
+
+
+class AtlasPlane(NamedTuple):
+    data: jnp.ndarray  # [H*W, 8] bf16 flat rows
+    width: jnp.ndarray  # scalar i32 row stride
 
 
 class MaterialAtlas(NamedTuple):
-    data: jnp.ndarray  # [H*W, 16] f32 flat rows
-    width: jnp.ndarray  # scalar i32 row stride
+    """Two independently-packed planes: BSDF blocks can be large textured
+    maps; emissive blocks are usually 1x1, so their plane stays tiny and
+    the per-hit emissive fetch contracts against a handful of rows."""
+
+    bsdf: AtlasPlane
+    emissive: AtlasPlane
+    # per-plane constancy, shape-encoded ([0] = every block in the plane
+    # is a 1x1 constant) so shading can branch statically under jit: a
+    # constant plane's values live in the packed material row and its
+    # matmul-gather chain is skipped entirely per shade. Emissive planes
+    # are constant in most textured scenes, and fully-constant scenes
+    # (procedural benches, furnace tests) skip the atlas altogether.
+    bsdf_token: jnp.ndarray
+    emissive_token: jnp.ndarray
+
+    @property
+    def bsdf_constant(self) -> bool:
+        return self.bsdf_token.shape[0] == 0
+
+    @property
+    def emissive_constant(self) -> bool:
+        return self.emissive_token.shape[0] == 0
+
+    @property
+    def all_constant(self) -> bool:
+        return self.bsdf_constant and self.emissive_constant
 
 
 def _as_image(source, channels: int) -> np.ndarray:
@@ -78,72 +116,111 @@ def _resize_bilinear_wrap(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return top * (1 - fv) + bot * fv
 
 
+def _pack_block(imgs) -> np.ndarray:
+    h = max(im.shape[0] for _, im in imgs)
+    w = max(im.shape[1] for _, im in imgs)
+    block = np.zeros((h, w, BLOCK_CHANNELS), np.float32)
+    for where, im in imgs:
+        block[..., where] = _resize_bilinear_wrap(im, h, w)
+    return block
+
+
+def _pack_plane(blocks) -> tuple[AtlasPlane, np.ndarray]:
+    """Shelf-pack blocks into one plane; returns (plane, rects [n,4])."""
+    max_w = max(b.shape[1] for b in blocks)
+    atlas_w = max(_next_pow2(max_w), 16)
+    total = sum(b.shape[0] * b.shape[1] for b in blocks)
+    while atlas_w * atlas_w < total * 1.4 and atlas_w < 16384:
+        atlas_w *= 2
+
+    order = sorted(range(len(blocks)), key=lambda i: -blocks[i].shape[0])
+    rects = np.zeros((len(blocks), 4), np.int32)
+    shelf_x = shelf_y = shelf_h = 0
+    for i in order:
+        h, w, _ = blocks[i].shape
+        if shelf_x + w > atlas_w:
+            shelf_y += shelf_h
+            shelf_x, shelf_h = 0, 0
+        rects[i] = (shelf_x, shelf_y, w, h)
+        shelf_x += w
+        shelf_h = max(shelf_h, h)
+    atlas_h = _next_pow2(shelf_y + shelf_h)
+
+    data = np.zeros((atlas_h, atlas_w, BLOCK_CHANNELS), np.float32)
+    for i, b in enumerate(blocks):
+        x, y, w, h = rects[i]
+        data[y : y + h, x : x + w] = b
+    plane = AtlasPlane(
+        data=jnp.asarray(data.reshape(-1, BLOCK_CHANNELS), jnp.bfloat16),
+        width=jnp.asarray(atlas_w, jnp.int32),
+    )
+    return plane, rects
+
+
 class MaterialBlockBuilder:
-    """Host-side packer: add() returns the block rect (x, y, w, h)."""
+    """Host-side packer: add() appends one material (BSDF block + emissive
+    block); build() returns the two-plane atlas plus both rect arrays."""
 
     def __init__(self):
-        self.blocks: list[np.ndarray] = []
+        self.bsdf_blocks: list[np.ndarray] = []
+        self.emissive_blocks: list[np.ndarray] = []
+        # constant values per material (valid when all maps are 1x1):
+        # color3 | metalness | roughness | emissive3 | normal_rg2
+        self.constants: list[np.ndarray] = []
+        self.bsdf_textured = False
+        self.emissive_textured = False
 
     def add(self, color, metalness, roughness, emissive, normal_rg) -> int:
-        imgs = [
+        a = _pack_block([
             (COLOR, _as_image(color, 3)),
             (slice(METALNESS, METALNESS + 1), _as_image(metalness, 1)),
             (slice(ROUGHNESS, ROUGHNESS + 1), _as_image(roughness, 1)),
-            (EMISSIVE, _as_image(emissive, 3)),
             (NORMAL_RG, _as_image(normal_rg, 2)),
-        ]
-        h = max(im.shape[0] for _, im in imgs)
-        w = max(im.shape[1] for _, im in imgs)
-        block = np.zeros((h, w, BLOCK_CHANNELS), np.float32)
-        for where, im in imgs:
-            block[..., where] = _resize_bilinear_wrap(im, h, w)
-        self.blocks.append(block)
-        return len(self.blocks) - 1
+        ])
+        b = _pack_block([
+            (EMISSIVE, _as_image(emissive, 3)),
+        ])
+        self.bsdf_blocks.append(a)
+        self.emissive_blocks.append(b)
+        if a.shape[:2] != (1, 1):
+            self.bsdf_textured = True
+        if b.shape[:2] != (1, 1):
+            self.emissive_textured = True
+        self.constants.append(np.concatenate([
+            a[0, 0, COLOR], a[0, 0, METALNESS:METALNESS + 1],
+            a[0, 0, ROUGHNESS:ROUGHNESS + 1], b[0, 0, EMISSIVE],
+            a[0, 0, NORMAL_RG],
+        ]))
+        return len(self.bsdf_blocks) - 1
 
     def build(self):
-        """Returns (MaterialAtlas, rects [n, 4] int32 (x, y, w, h))."""
-        if not self.blocks:
+        """Returns (MaterialAtlas, rects [n, 2, 4] int32 (x, y, w, h) —
+        [:, 0] in the bsdf plane, [:, 1] in the emissive plane — and
+        constants [n, 10] f32, valid when atlas.all_constant)."""
+        if not self.bsdf_blocks:
             self.add((1, 1, 1), 0.0, 1.0, (0, 0, 0), (0.5, 0.5))
-        max_w = max(b.shape[1] for b in self.blocks)
-        atlas_w = max(_next_pow2(max_w), 16)
-        total = sum(b.shape[0] * b.shape[1] for b in self.blocks)
-        while atlas_w * atlas_w < total * 1.4 and atlas_w < 16384:
-            atlas_w *= 2
-
-        order = sorted(range(len(self.blocks)),
-                       key=lambda i: -self.blocks[i].shape[0])
-        rects = np.zeros((len(self.blocks), 4), np.int32)
-        shelf_x = shelf_y = shelf_h = 0
-        for i in order:
-            h, w, _ = self.blocks[i].shape
-            if shelf_x + w > atlas_w:
-                shelf_y += shelf_h
-                shelf_x, shelf_h = 0, 0
-            rects[i] = (shelf_x, shelf_y, w, h)
-            shelf_x += w
-            shelf_h = max(shelf_h, h)
-        atlas_h = _next_pow2(shelf_y + shelf_h)
-
-        data = np.zeros((atlas_h, atlas_w, BLOCK_CHANNELS), np.float32)
-        for i, b in enumerate(self.blocks):
-            x, y, w, h = rects[i]
-            data[y : y + h, x : x + w] = b
+        bsdf, rects_a = _pack_plane(self.bsdf_blocks)
+        emissive, rects_b = _pack_plane(self.emissive_blocks)
         atlas = MaterialAtlas(
-            data=jnp.asarray(data.reshape(-1, BLOCK_CHANNELS)),
-            width=jnp.asarray(atlas_w, jnp.int32),
+            bsdf=bsdf, emissive=emissive,
+            bsdf_token=jnp.zeros(
+                (1 if self.bsdf_textured else 0,), jnp.uint8),
+            emissive_token=jnp.zeros(
+                (1 if self.emissive_textured else 0,), jnp.uint8),
         )
-        return atlas, rects
+        return atlas, np.stack([rects_a, rects_b], axis=1), np.stack(
+            self.constants)
 
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
 
 
-def sample_material_block(atlas: MaterialAtlas, rect: jnp.ndarray,
+def sample_material_block(plane: AtlasPlane, rect: jnp.ndarray,
                           uv: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear repeat-wrap fetch of full material blocks.
+    """Bilinear repeat-wrap fetch of full material blocks from one plane.
 
-    rect: [N, 4] float or int (x, y, w, h); uv: [N, 2] -> [N, 16].
+    rect: [N, 4] float or int (x, y, w, h); uv: [N, 2] -> [N, 8] f32.
     """
     x0 = rect[..., 0].astype(jnp.int32)
     y0 = rect[..., 1].astype(jnp.int32)
@@ -163,7 +240,7 @@ def sample_material_block(atlas: MaterialAtlas, rect: jnp.ndarray,
     iv0 = wrap(iv, th)
     iv1 = wrap(iv + 1, th)
 
-    stride = atlas.width
+    stride = plane.width
     idx = lambda ix, iy: (y0 + iy) * stride + (x0 + ix)
     fu1 = fu[..., 0]
     fv1 = fv[..., 0]
@@ -174,5 +251,6 @@ def sample_material_block(atlas: MaterialAtlas, rect: jnp.ndarray,
         [(1 - fu1) * (1 - fv1), fu1 * (1 - fv1), (1 - fu1) * fv1, fu1 * fv1],
         axis=-1,
     )
-    # the whole bilinear filter as one fused 4-tap MXU gather
-    return weighted_gather_rows(atlas.data, ids, weights)
+    # the whole bilinear filter as one fused 4-tap MXU gather; bf16 rows
+    # come back as f32 accumulations
+    return weighted_gather_rows(plane.data, ids, weights).astype(jnp.float32)

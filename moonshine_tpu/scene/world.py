@@ -66,11 +66,16 @@ class MaterialTable(NamedTuple):
     """One packed row per material so a hit decodes with a single gather.
     Integer fields stored as f32 (exact below 2^24).
 
-    Columns: 0 type, 1-4 material-block rect (x, y, w, h), 5 ior,
-    6-7 pad.
+    Layout (constant planes put values in the row so shading skips their
+    atlas fetch; see MaterialAtlas tokens):
+      0 type | 5 ior always
+      1-4: BSDF rect (textured bsdf plane) OR 1-3 color + 4 metalness
+      6 roughness, 10-11 normal_rg (constant bsdf plane only)
+      7-9 emissive values (constant emissive plane only)
+      12-15: emissive-block rect (textured emissive plane only)
     """
 
-    packed: jnp.ndarray  # [M, 8] f32
+    packed: jnp.ndarray  # [M, 16] f32
 
 
 class EmitterTable(NamedTuple):
@@ -392,11 +397,21 @@ def _build_materials(materials, builder: MaterialBlockBuilder) -> MaterialTable:
         else:
             raise TypeError(f"unknown material variant {v!r}")
 
-    atlas, rects = builder.build()
-    packed = np.zeros((n, 8), np.float32)
+    atlas, rects, constants = builder.build()
+    packed = np.zeros((n, 16), np.float32)
     packed[:, 0] = type_
-    packed[:, 1:5] = rects
     packed[:, 5] = ior
+    if atlas.bsdf_constant:
+        packed[:, 1:4] = constants[:, 0:3]  # color
+        packed[:, 4] = constants[:, 3]  # metalness
+        packed[:, 6] = constants[:, 4]  # roughness
+        packed[:, 10:12] = constants[:, 8:10]  # normal rg
+    else:
+        packed[:, 1:5] = rects[:, 0]  # BSDF block rect
+    if atlas.emissive_constant:
+        packed[:, 7:10] = constants[:, 5:8]  # emissive
+    else:
+        packed[:, 12:16] = rects[:, 1]  # emissive block rect
     return MaterialTable(packed=jnp.asarray(packed)), atlas
 
 
