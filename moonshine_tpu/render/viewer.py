@@ -140,12 +140,111 @@ class Viewer:
 
     def status(self) -> dict:
         m = self.engine.metrics
+        cfg = self.engine.config
         return {
             "samples": self.engine.sample_count(self.sensor),
             "last_frame_seconds": m.get("last_frame_seconds", 0.0),
             "mrays_per_sec": m.get("last_mrays_per_sec", 0.0),
             "origin": np.asarray(self.lens.origin).tolist(),
+            "config": {
+                "max_bounces": cfg.max_bounces,
+                "env_samples_per_bounce": cfg.env_samples_per_bounce,
+                "mesh_samples_per_bounce": cfg.mesh_samples_per_bounce,
+            },
+            "pick": self._pick_info,
         }
+
+    # --- edit panel (online/main.zig:154-285: click-inspection panel with
+    # live material/transform edits + the spec-constant editor) ---
+
+    _pick_info: dict | None = None
+
+    def pick(self, u: float, v: float) -> dict:
+        """Click-to-inspect at fractional image coords (u right, v down).
+        Returns and remembers {instance, geometry, primitive, material,
+        visible} — the SyncCopier click-inspection analogue."""
+        x = int(np.clip(u, 0, 1) * (self.width - 1))
+        y = int(np.clip(v, 0, 1) * (self.height - 1))
+        res = self.engine.pick(self.lens_handle, self.width, self.height,
+                               x, y)
+        if not res.hit:
+            self._pick_info = None
+            return {"hit": False}
+        inst = self.engine.world.instances[res.instance]
+        material = int(inst.geometries[res.geometry].material)
+        self._pick_info = {
+            "hit": True,
+            "instance": res.instance,
+            "geometry": res.geometry,
+            "primitive": res.primitive,
+            "material": material,
+            "visible": bool(inst.visible),
+            "translation": np.asarray(inst.transform, np.float32)[:, 3]
+            .tolist(),
+        }
+        return self._pick_info
+
+    def edit_material(self, updates: dict):
+        """Live-edit the picked material. updates keys: color / emissive
+        ([r,g,b]), metalness / roughness / ior (float). Value edits create
+        solid textures, matching the engine's image-handle surface
+        (hydra.zig SetMaterial*)."""
+        if not self._pick_info:
+            return
+        h = self._pick_info["material"]
+        e = self.engine
+        if "color" in updates:
+            e.set_material_color(h, e.create_solid_texture(updates["color"]))
+        if "emissive" in updates:
+            e.set_material_emissive(
+                h, e.create_solid_texture(updates["emissive"]))
+        if "metalness" in updates:
+            e.set_material_metalness(
+                h, e.create_solid_texture(float(updates["metalness"])))
+        if "roughness" in updates:
+            e.set_material_roughness(
+                h, e.create_solid_texture(float(updates["roughness"])))
+        if "ior" in updates:
+            e.set_material_ior(h, float(updates["ior"]))
+        self.reset()
+
+    def edit_transform(self, delta: list):
+        """Translate the picked instance by (dx, dy, dz) — a refit, not a
+        rebuild (Accel.recordUpdateSingleTransform analogue)."""
+        if not self._pick_info:
+            return
+        i = self._pick_info["instance"]
+        t = np.asarray(self.engine.world.instances[i].transform,
+                       np.float32).copy()
+        t[:, 3] += np.asarray(delta, np.float32)
+        self.engine.set_instance_transform(i, t)
+        self._pick_info["translation"] = t[:, 3].tolist()
+        self.reset()
+
+    def edit_visibility(self, visible: bool):
+        if not self._pick_info:
+            return
+        self.engine.set_instance_visibility(self._pick_info["instance"],
+                                            visible)
+        self._pick_info["visible"] = visible
+        self.reset()
+
+    def edit_config(self, updates: dict):
+        """Spec-constant editor + Rebuild button: changing a static knob
+        re-jits on the next frame, the reference's live DXC pipeline
+        rebuild (online/main.zig:196-208)."""
+        from ..integrator import PathConfig
+
+        cfg = self.engine.config
+        self.engine.set_config(PathConfig(
+            max_bounces=int(updates.get("max_bounces", cfg.max_bounces)),
+            env_samples_per_bounce=int(updates.get(
+                "env_samples_per_bounce", cfg.env_samples_per_bounce)),
+            mesh_samples_per_bounce=int(updates.get(
+                "mesh_samples_per_bounce", cfg.mesh_samples_per_bounce)),
+            unroll=cfg.unroll,
+        ))
+        self.reset()
 
     # --- web frontend ---
 
@@ -198,9 +297,31 @@ class Viewer:
                 else:
                     self._send(404, b"not found", "text/plain")
 
+            def _body_json(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
             def do_POST(self):
                 if self.path.startswith("/key/"):
                     viewer.handle_key(self.path.rsplit("/", 1)[-1])
+                    self._send(200, b"ok", "text/plain")
+                elif self.path == "/pick":
+                    b = self._body_json()
+                    info = viewer.pick(float(b["u"]), float(b["v"]))
+                    self._send(200, json.dumps(info).encode(),
+                               "application/json")
+                elif self.path == "/edit/material":
+                    viewer.edit_material(self._body_json())
+                    self._send(200, b"ok", "text/plain")
+                elif self.path == "/edit/transform":
+                    viewer.edit_transform(self._body_json()["delta"])
+                    self._send(200, b"ok", "text/plain")
+                elif self.path == "/edit/visibility":
+                    viewer.edit_visibility(
+                        bool(self._body_json()["visible"]))
+                    self._send(200, b"ok", "text/plain")
+                elif self.path == "/config":
+                    viewer.edit_config(self._body_json())
                     self._send(200, b"ok", "text/plain")
                 else:
                     self._send(404, b"not found", "text/plain")
@@ -214,14 +335,63 @@ class Viewer:
 
 _INDEX_HTML = """<!doctype html>
 <title>moonshine_tpu</title>
-<style>body{background:#111;color:#ccc;font-family:monospace;text-align:center}</style>
-<h3>moonshine_tpu — WASD move, R/F up/down, Q/E turn, 0 reset</h3>
-<img id=v width=70%><div id=s></div>
+<style>
+body{background:#111;color:#ccc;font-family:monospace}
+#row{display:flex;gap:12px}#panel{min-width:300px;text-align:left}
+input{width:60px;background:#222;color:#ccc;border:1px solid #444}
+button{background:#333;color:#ccc;border:1px solid #555;cursor:pointer}
+fieldset{border:1px solid #333;margin-bottom:8px}
+</style>
+<h3>moonshine_tpu — WASD move, R/F up/down, Q/E turn, 0 reset; click to inspect</h3>
+<div id=row>
+<div><img id=v width=640><div id=s></div></div>
+<div id=panel>
+<fieldset><legend>pick</legend><div id=pick>click the image</div>
+ <div id=edits style="display:none">
+  color <input id=mc type=color value="#808080"><br>
+  metal <input id=mm value=0> rough <input id=mr value=1>
+  ior <input id=mi value=1.5><br>
+  emissive <input id=me value=0><br>
+  <button onclick="mat()">apply material</button><br>
+  move <button onclick="mv(1,0,0)">+x</button><button onclick="mv(-1,0,0)">-x</button>
+  <button onclick="mv(0,1,0)">+y</button><button onclick="mv(0,-1,0)">-y</button>
+  <button onclick="mv(0,0,1)">+z</button><button onclick="mv(0,0,-1)">-z</button><br>
+  visible <input id=vis type=checkbox checked onchange="visi()">
+ </div></fieldset>
+<fieldset><legend>pipeline (rebuild = re-jit)</legend>
+ bounces <input id=cb value=4> env <input id=ce value=1>
+ mesh <input id=cm value=1>
+ <button onclick="cfg()">Rebuild</button></fieldset>
+</div></div>
 <script>
 const img=document.getElementById('v'), st=document.getElementById('s');
+const post=(p,b)=>fetch(p,{method:'POST',body:JSON.stringify(b||{})});
 function tick(){img.src='/frame.png?'+Date.now();
  fetch('/status').then(r=>r.json()).then(j=>{
-  st.textContent=`samples ${j.samples} | frame ${(j.last_frame_seconds*1e3).toFixed(0)}ms | ${j.mrays_per_sec.toFixed(2)} Mrays/s`});}
+  st.textContent=`samples ${j.samples} | frame ${(j.last_frame_seconds*1e3).toFixed(0)}ms | ${j.mrays_per_sec.toFixed(2)} Mrays/s`;
+  document.getElementById('cb').placeholder=j.config.max_bounces;});}
 setInterval(tick, 500); tick();
-document.addEventListener('keydown', e=>fetch('/key/'+e.key,{method:'POST'}));
+document.addEventListener('keydown', e=>{
+ if(document.activeElement.tagName!=='INPUT') post('/key/'+e.key);});
+img.onclick=e=>{const r=img.getBoundingClientRect();
+ post('/pick',{u:(e.clientX-r.left)/r.width, v:(e.clientY-r.top)/r.height})
+ .then(r=>r.json()).then(j=>{
+  const p=document.getElementById('pick'), ed=document.getElementById('edits');
+  if(!j.hit){p.textContent='miss';ed.style.display='none';return;}
+  p.textContent=`instance ${j.instance} geo ${j.geometry} prim ${j.primitive} mat ${j.material} @ [${j.translation.map(x=>x.toFixed(2))}]`;
+  document.getElementById('vis').checked=j.visible;
+  ed.style.display='block';});};
+function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255);}
+function mat(){post('/edit/material',{
+ color:hex2rgb(document.getElementById('mc').value),
+ metalness:+document.getElementById('mm').value,
+ roughness:+document.getElementById('mr').value,
+ ior:+document.getElementById('mi').value,
+ emissive:Array(3).fill(+document.getElementById('me').value)});}
+function mv(x,y,z){post('/edit/transform',{delta:[x*0.5,y*0.5,z*0.5]});}
+function visi(){post('/edit/visibility',{visible:document.getElementById('vis').checked});}
+function cfg(){post('/config',{
+ max_bounces:+document.getElementById('cb').value,
+ env_samples_per_bounce:+document.getElementById('ce').value,
+ mesh_samples_per_bounce:+document.getElementById('cm').value});}
 </script>"""

@@ -100,6 +100,73 @@ class TestViewer:
         assert urllib.request.urlopen(req, timeout=5).status == 200
         assert v.status()["samples"] == 0  # key moved the camera
 
+    def test_edit_panel_roundtrip(self):
+        """Edit-panel surface (online/main.zig:154-285 parity): pick,
+        material edit, transform edit, visibility, config rebuild — all
+        through the HTTP endpoints the browser panel uses."""
+        import json
+        import time
+
+        v = Viewer(small_engine(), front_lens(), 16, 16)
+        v.step()
+        port = 8733
+        t = threading.Thread(
+            target=lambda: v.run_web(port=port, background_render=False),
+            daemon=True,
+        )
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                urllib.request.urlopen(base + "/", timeout=2).read()
+                break
+            except Exception:
+                time.sleep(0.2)
+
+        def post(path, body):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(body).encode(), method="POST")
+            # generous timeout: the first /pick jit-compiles the 1-ray
+            # closest-hit trace
+            return urllib.request.urlopen(req, timeout=180)
+
+        # pick the sphere (image center)
+        info = json.loads(post("/pick", {"u": 0.5, "v": 0.5}).read())
+        assert info["hit"] and info["instance"] == 0
+        # pick background (top-left corner) misses
+        miss = json.loads(post("/pick", {"u": 0.02, "v": 0.02}).read())
+        assert not miss["hit"]
+
+        # re-pick the sphere and edit its material to pure red
+        post("/pick", {"u": 0.5, "v": 0.5})
+        post("/edit/material", {"color": [1.0, 0.0, 0.0],
+                                "roughness": 1.0, "metalness": 0.0})
+        v.step()
+        frame = np.asarray(v.engine.get_sensor_data(v.sensor))
+        center = frame[8, 8, :3]
+        assert center[0] > center[2] + 0.1  # visibly red now
+
+        # translate it out of frame -> center shows the white env
+        post("/edit/transform", {"delta": [100.0, 0.0, 0.0]})
+        v.step()
+        frame = np.asarray(v.engine.get_sensor_data(v.sensor))
+        assert abs(frame[8, 8, :3].mean() - 1.0) < 1e-3
+
+        # visibility toggle brings it back hidden/shown
+        post("/edit/transform", {"delta": [-100.0, 0.0, 0.0]})
+        post("/edit/visibility", {"visible": False})
+        v.step()
+        frame = np.asarray(v.engine.get_sensor_data(v.sensor))
+        assert abs(frame[8, 8, :3].mean() - 1.0) < 1e-3
+
+        # spec-constant editor: config propagates to the engine (re-jit)
+        post("/config", {"max_bounces": 3})
+        assert v.engine.config.max_bounces == 3
+        status = json.loads(urllib.request.urlopen(
+            base + "/status", timeout=5).read())
+        assert status["config"]["max_bounces"] == 3
+
     def test_tonemap(self):
         lin = np.zeros((2, 2, 4), np.float32)
         lin[..., :3] = [[[0.0, 0.5, 10.0]] * 2] * 2
