@@ -219,6 +219,19 @@ class Engine:
             self.world.set_background(equirect_rgb, size)
             self._dirty = True
 
+    def add_background(self, equirect_rgb: Optional[np.ndarray],
+                       size=None) -> int:
+        """Register an env map without selecting it (BackgroundManager
+        array surface)."""
+        with self._lock:
+            return self.world.add_background(equirect_rgb, size)
+
+    def use_background(self, handle: int):
+        """Switch the active env map; prebuilt tables swap instantly."""
+        with self._lock:
+            self.world.use_background(handle)
+            self._dirty = True
+
     # --- sensors / lenses (moonshine.h CreateSensor/CreateLens/SetLens) ---
 
     def create_sensor(self, width: int, height: int) -> int:

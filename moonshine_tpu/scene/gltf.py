@@ -62,6 +62,29 @@ _TYPE_COUNTS = {
 class Glb:
     json: dict
     binary: bytes
+    # directory for resolving external buffer/image uris (.gltf files);
+    # None = GLB with everything embedded
+    base_dir: "str | None" = None
+
+    @staticmethod
+    def load(path) -> "Glb":
+        """Read a .glb (binary container) or .gltf (JSON + external .bin
+        buffers/images, zgltf's other supported container)."""
+        import os
+
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] == b"glTF":
+            return Glb.parse(data)
+        doc = json.loads(data)
+        base_dir = os.path.dirname(os.fspath(path))
+        binary = b""
+        buffers = doc.get("buffers", [])
+        if buffers:
+            uri = buffers[0].get("uri")
+            if uri is not None:
+                binary = _read_uri(uri, base_dir)
+        return Glb(json=doc, binary=binary, base_dir=base_dir)
 
     @staticmethod
     def parse(data: bytes) -> "Glb":
@@ -105,7 +128,28 @@ class Glb:
         else:
             out = np.frombuffer(self.binary, dtype, count * n_comp, base)
             out = out.reshape(count, n_comp)
-        return out.copy()
+        out = out.copy()
+        if "sparse" in acc:
+            out = self._apply_sparse(acc, out)
+        return out
+
+    def _apply_sparse(self, acc: dict, out: np.ndarray) -> np.ndarray:
+        """Sparse accessor overlay (glTF 2.0 §3.6.2.3): substitute
+        `count` rows at `indices` with `values`."""
+        sp = acc["sparse"]
+        n = sp["count"]
+        n_comp = out.shape[1]
+
+        def block(ref, dtype, comps):
+            bv = self.json["bufferViews"][ref["bufferView"]]
+            base = bv.get("byteOffset", 0) + ref.get("byteOffset", 0)
+            return np.frombuffer(self.binary, dtype, n * comps, base)
+
+        idx = block(sp["indices"],
+                    _COMPONENT_DTYPES[sp["indices"]["componentType"]], 1)
+        vals = block(sp["values"], out.dtype, n_comp).reshape(n, n_comp)
+        out[idx.astype(np.int64)] = vals
+        return out
 
     def image_rgba(self, image_index: int) -> np.ndarray:
         """Decode an embedded image to float [h,w,4] in [0,1] (no transfer
@@ -113,17 +157,35 @@ class Glb:
         from PIL import Image
 
         img_def = self.json["images"][image_index]
-        if "bufferView" not in img_def:
-            raise ValueError("external glTF images not supported in GLB")
-        bv = self.json["bufferViews"][img_def["bufferView"]]
-        base = bv.get("byteOffset", 0)
-        raw = self.binary[base : base + bv["byteLength"]]
+        if "bufferView" in img_def:
+            bv = self.json["bufferViews"][img_def["bufferView"]]
+            base = bv.get("byteOffset", 0)
+            raw = self.binary[base : base + bv["byteLength"]]
+        elif "uri" in img_def:
+            raw = _read_uri(img_def["uri"], self.base_dir)
+        else:
+            raise ValueError("glTF image has neither bufferView nor uri")
         img = Image.open(_io.BytesIO(raw)).convert("RGBA")
         return np.asarray(img, np.float32) / 255.0
 
     def texture_image(self, texture_index: int) -> np.ndarray:
         tex = self.json["textures"][texture_index]
         return self.image_rgba(tex["source"])
+
+
+def _read_uri(uri: str, base_dir) -> bytes:
+    """data: URIs and sibling files (the two uri kinds glTF allows)."""
+    if uri.startswith("data:"):
+        import base64
+
+        return base64.b64decode(uri.split(",", 1)[1])
+    import os
+    import urllib.parse
+
+    rel = urllib.parse.unquote(uri)
+    path = os.path.join(base_dir or ".", rel)
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
@@ -255,12 +317,11 @@ def _convert_material(glb: Glb, mat_def: dict,
 
 def world_from_glb(path_or_bytes, world: World | None = None,
                    spec_channels: bool = True) -> World:
-    """Populate a World from a .glb (World.fromGlb parity)."""
+    """Populate a World from a .glb or .gltf (World.fromGlb parity)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         glb = Glb.parse(bytes(path_or_bytes))
     else:
-        with open(path_or_bytes, "rb") as f:
-            glb = Glb.parse(f.read())
+        glb = Glb.load(path_or_bytes)
     doc = glb.json
     if world is None:
         world = World()
@@ -324,8 +385,7 @@ def lens_from_glb(path_or_bytes) -> Lens:
     if isinstance(path_or_bytes, (bytes, bytearray)):
         glb = Glb.parse(bytes(path_or_bytes))
     else:
-        with open(path_or_bytes, "rb") as f:
-            glb = Glb.parse(f.read())
+        glb = Glb.load(path_or_bytes)
     doc = glb.json
     transforms = _node_transforms(doc)
     for node_idx, node in enumerate(doc.get("nodes", [])):

@@ -151,8 +151,14 @@ class World:
         self.meshes: list[Mesh] = []
         self.materials: list[MaterialInfo] = []
         self.instances: list[Instance] = []
-        self._env_equirect: Optional[np.ndarray] = None
-        self._env_size: Optional[int] = None
+        # backgrounds: an array of env maps with one active, matching the
+        # reference's BackgroundManager handle array + per-render selection
+        # (BackgroundManager.zig:29-142, Scene.zig:64-77). Built EnvMaps
+        # are cached per handle, so switching the active background swaps
+        # a prebuilt table instead of re-preprocessing.
+        self._backgrounds: list = []  # (equirect | None, size) per handle
+        self._active_background: Optional[int] = None
+        self._env_cache: dict = {}
         self._scene: Optional[DeviceScene] = None
         self._cache: Optional[_FlattenCache] = None
         self._builder: Optional[str] = None
@@ -178,12 +184,25 @@ class World:
         self._dirty_topology = True
         return len(self.instances) - 1
 
+    def add_background(self, equirect_rgb: Optional[np.ndarray],
+                       size: Optional[int] = None) -> int:
+        """Register an environment map (BackgroundManager.addBackground);
+        None = default 1x1 white. Returns a handle for use_background."""
+        self._backgrounds.append((equirect_rgb, size))
+        return len(self._backgrounds) - 1
+
+    def use_background(self, handle: int):
+        """Select the active background (Scene.pushDescriptors' background
+        argument)."""
+        if not 0 <= handle < len(self._backgrounds):
+            raise IndexError(f"no background {handle}")
+        if handle != self._active_background:
+            self._active_background = handle
+            self._dirty_env = True
+
     def set_background(self, equirect_rgb: Optional[np.ndarray], size: Optional[int] = None):
-        """equirect [H,W,3] float32; None = default 1x1 white
-        (BackgroundManager.addDefaultBackground)."""
-        self._env_equirect = equirect_rgb
-        self._env_size = size
-        self._dirty_env = True
+        """Single-slot convenience: register + select in one call."""
+        self.use_background(self.add_background(equirect_rgb, size))
 
     # --- live-edit surface (parity: Accel.zig:567-679, hydra.zig:435-513) ---
 
@@ -244,9 +263,17 @@ class World:
         return scene
 
     def _build_env(self) -> EnvMap:
-        if self._env_equirect is None:
-            return constant_envmap((1.0, 1.0, 1.0))
-        return build_envmap(self._env_equirect, self._env_size)
+        h = self._active_background
+        if h not in self._env_cache:
+            if h is None:
+                self._env_cache[h] = constant_envmap((1.0, 1.0, 1.0))
+            else:
+                equirect, size = self._backgrounds[h]
+                self._env_cache[h] = (
+                    constant_envmap((1.0, 1.0, 1.0)) if equirect is None
+                    else build_envmap(equirect, size)
+                )
+        return self._env_cache[h]
 
     def _full_build(self, builder: str) -> DeviceScene:
         mat_table, mat_atlas = _build_materials(

@@ -190,3 +190,73 @@ class TestOfflineCli:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+class TestContainersAndSparse:
+    def test_sparse_accessor_overlay(self):
+        """glTF 2.0 sparse accessors: base rows + index/value substitution."""
+        from moonshine_tpu.scene.gltf import Glb
+
+        base = np.arange(12, dtype=np.float32).reshape(4, 3)
+        idx = np.asarray([1, 3], np.uint16)
+        vals = np.asarray([[9, 9, 9], [7, 7, 7]], np.float32)
+        binary = base.tobytes() + idx.tobytes() + vals.tobytes()
+        doc = {
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": base.nbytes},
+                {"buffer": 0, "byteOffset": base.nbytes,
+                 "byteLength": idx.nbytes},
+                {"buffer": 0, "byteOffset": base.nbytes + idx.nbytes,
+                 "byteLength": vals.nbytes},
+            ],
+            "accessors": [{
+                "bufferView": 0, "componentType": 5126, "count": 4,
+                "type": "VEC3",
+                "sparse": {
+                    "count": 2,
+                    "indices": {"bufferView": 1, "componentType": 5123},
+                    "values": {"bufferView": 2},
+                },
+            }],
+        }
+        out = Glb(json=doc, binary=binary).accessor(0)
+        want = base.copy()
+        want[[1, 3]] = vals
+        np.testing.assert_array_equal(out, want)
+
+    def test_gltf_json_container_with_external_bin(self, tmp_path):
+        """.gltf + sibling .bin loads identically to the .glb container."""
+        import json as _json
+        import struct
+
+        from moonshine_tpu.scene import gltf
+
+        glb_bytes = cornell_box_glb()
+        parsed = gltf.Glb.parse(glb_bytes)
+        doc = dict(parsed.json)
+        doc["buffers"] = [{"uri": "scene.bin",
+                           "byteLength": len(parsed.binary)}]
+        (tmp_path / "scene.bin").write_bytes(parsed.binary)
+        (tmp_path / "scene.gltf").write_text(_json.dumps(doc))
+
+        w_glb = gltf.world_from_glb(glb_bytes)
+        w_gltf = gltf.world_from_glb(tmp_path / "scene.gltf")
+        assert len(w_gltf.meshes) == len(w_glb.meshes)
+        for a, b in zip(w_gltf.meshes, w_glb.meshes):
+            np.testing.assert_array_equal(a.positions, b.positions)
+            np.testing.assert_array_equal(a.indices, b.indices)
+
+    def test_gltf_data_uri_buffer(self, tmp_path):
+        """Buffers inlined as base64 data: URIs."""
+        import base64
+        import json as _json
+
+        from moonshine_tpu.scene import gltf
+
+        parsed = gltf.Glb.parse(cornell_box_glb())
+        doc = dict(parsed.json)
+        uri = "data:application/octet-stream;base64," + base64.b64encode(
+            parsed.binary).decode()
+        doc["buffers"] = [{"uri": uri, "byteLength": len(parsed.binary)}]
+        (tmp_path / "inline.gltf").write_text(_json.dumps(doc))
+        w = gltf.world_from_glb(tmp_path / "inline.gltf")
+        assert len(w.meshes) > 0

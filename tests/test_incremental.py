@@ -171,3 +171,26 @@ class TestIncrementalBuild:
         s3 = w.build()
         assert int(s3.emitters.count) == 0
         assert s3.emitters.select.shape == s2.emitters.select.shape
+
+    def test_multiple_backgrounds_switch_and_cache(self):
+        """BackgroundManager array parity: several registered env maps,
+        active selected per render; switching back reuses the prebuilt
+        table (no re-preprocess)."""
+        w, a, b = two_sphere_world()
+        dark = np.full((4, 8, 3), 0.1, np.float32)
+        bright = np.full((4, 8, 3), 5.0, np.float32)
+        h_dark = w.add_background(dark)
+        h_bright = w.add_background(bright)
+
+        w.use_background(h_dark)
+        s1 = w.build()
+        env_dark = s1.env
+        w.use_background(h_bright)
+        s2 = w.build()
+        assert s2.env is not env_dark
+        assert float(s2.env.integral) > float(env_dark.integral)
+        assert s2.bvh is s1.bvh  # only the env stage rebuilt
+
+        w.use_background(h_dark)
+        s3 = w.build()
+        assert s3.env is env_dark  # cached table reused
