@@ -532,12 +532,13 @@ def build_sah(
     child_right[np.concatenate(link_parent)] = np.concatenate(link_right)
     return _finalize_topdown(
         tri_verts, order, node_lo, node_len, child_left, child_right,
-        2 * n_levels + 6, pad_nodes_to_pow2,
+        2 * n_levels + 6, pad_nodes_to_pow2, as_numpy,
     )
 
 
 def _finalize_topdown(tri_verts, order, node_lo, node_len, child_left,
-                      child_right, depth_bound, pad_nodes_to_pow2):
+                      child_right, depth_bound, pad_nodes_to_pow2,
+                      as_numpy=False):
     """Escape links, parent links, AABBs, and array compaction for a
     top-down tree over contiguous ranges of `order`.
 

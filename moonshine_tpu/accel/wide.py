@@ -1,29 +1,25 @@
 """8-wide BVH for packet traversal.
 
-Collapses the binary Karras tree (lbvh.py) into 8-ary nodes: each wide node
-repeatedly splits its largest-count child until it has up to 8 children;
-children covering <= 8 triangles become fat leaves holding fully unpacked
-triangle data (v0, e1, e2 per slot) so the traversal kernel never chases a
-vertex indirection.
+Collapses the binary Karras/SAH tree (lbvh.py) into 8-ary nodes: each wide
+node repeatedly splits its largest-count child until it has up to 8
+children; children covering <= 8 triangles become fat leaves holding fully
+unpacked triangle data (v0, e1, e2 per slot) so the traversal kernel never
+chases a vertex indirection. Each node's leaf children are then bin-packed
+into up-to-8-triangle rows: the kernel pays all 8 Moller-Trumbore slots at
+every leaf visit whether occupied or not, so near-full rows are a direct
+ALU win (measured 64% occupancy -> ~97% on the 184k room scene, ~1.5x
+fewer leaf visits).
 
-The build is fully vectorized (no Python recursion): every binary radix-tree
-node covers a *contiguous range* of the Morton-sorted triangle order, so
-triangle counts and range starts propagate in depth-bounded bottom-up
-passes, wide nodes expand breadth-first as flat [frontier, 8] arrays, and
-leaves gather their triangles straight from the sorted order. A 1M-triangle
-build is seconds, not minutes.
+The build is fully vectorized except the per-node bin packing (a linear
+pass): every binary node covers a *contiguous range* of the sorted
+triangle order, so triangle counts and range starts propagate in
+depth-bounded bottom-up passes, wide nodes expand breadth-first as flat
+[frontier, 8] arrays, and leaves gather their triangles straight from the
+sorted order. A 1M-triangle build is seconds, not minutes.
 
 Layout is chosen for the Pallas packet kernel (packet.py): a ray *block*
 shares one traversal stack, so node/leaf fetches are scalar-indexed rows —
-no per-lane gathers anywhere:
-
-  boxes  [M, 6, 8]  f32  child AABBs, component-major
-                         (lox,loy,loz,hix,hiy,hiz) x child slot
-  ptr    [M, 8]     i32  >= 0: wide-node index; -1: empty slot;
-                         <= -2: leaf index = -2 - ptr
-  tris   [L, 9, 8]  f32  leaf triangles, component-major
-                         (v0x,v0y,v0z,e1x,e1y,e1z,e2x,e2y,e2z) x tri slot
-  ids    [L, 8]     i32  original triangle index, -1 for empty slots
+no per-lane gathers anywhere.
 """
 
 from __future__ import annotations
@@ -41,10 +37,12 @@ WIDTH = 8
 
 class WideTopology(NamedTuple):
     """Host-side (numpy) record of everything geometry-independent about a
-    wide BVH: which binary node fills each child slot, the child pointers,
-    and each leaf's triangle ids. `assemble_rows` turns it plus fresh
-    binary-node AABBs + triangle vertices into node/leaf rows — the wide
-    analogue of the reference's TLAS update-mode rebuild (Accel.zig:567-679).
+    wide BVH: which binary node backs each internal child slot, the child
+    pointers, and each leaf bin's triangle ids. `assemble_rows` turns it
+    plus fresh binary-node AABBs + triangle vertices into node/leaf rows —
+    the wide analogue of the reference's TLAS update-mode rebuild
+    (Accel.zig:567-679). Leaf-bin boxes are computed from the triangles
+    themselves, so refits need no per-leaf binary bookkeeping.
 
     Child slot order and the dominant axis (col 56) are frozen at build:
     after large motion the near-first ordering degrades (ordering is a
@@ -52,74 +50,53 @@ class WideTopology(NamedTuple):
     hardware TLAS degrades until the next full rebuild.
     """
 
-    sl: np.ndarray  # [W, 8] i64 binary node id per child slot (clipped)
-    valid: np.ndarray  # [W, 8] bool
+    int_ids: np.ndarray  # [W, 8] i64 binary node per internal slot, -1 else
     ptr: np.ndarray  # [W, 8] i64 child pointers (wide id / -1 / -2-leaf)
     node_axis: np.ndarray  # [W] i64
-    leaf_nodes: np.ndarray  # [L] i64 binary node id per leaf
-    orig: np.ndarray  # [L, 8] i64 original triangle ids
+    orig: np.ndarray  # [L, 8] i64 original triangle ids, -1 padding
     in_range: np.ndarray  # [L, 8] bool occupied tri slots
     n_levels: int
     leaf_cap: int
-
-
-class WideBVH(NamedTuple):
-    """Node/leaf records are single 128-float rows so one aligned DMA (or
-    one VMEM row) fetches a whole visit:
-
-      nodes[m]:  cols c*8+j (c<6) = child-box component c of slot j
-                 (lox,loy,loz,hix,hiy,hiz); cols 48+j = child pointer,
-                 f32-encoded (>= 0 wide node, -1 empty, <= -2 leaf ~ptr)
-      leaves[l]: cols c*8+j (c<9) = triangle component c of slot j
-                 (v0,e1,e2); cols 72+j = original tri id (f32, -1 empty)
-
-    f32 encoding of ids is exact below 2^24 — a 16M-triangle/node cap.
-    """
-
-    nodes: jnp.ndarray  # [M, 128] f32
-    leaves: jnp.ndarray  # [L, 128] f32
-    bounds: jnp.ndarray  # [2, 3] f32 scene AABB (for ray-sort keys)
-    # [depth] u8 zeros: the wide tree's level count, encoded in a *shape*
-    # so traversal dispatch can branch on it statically under jit (pytree
-    # int leaves become tracers; shapes stay concrete). Worst-case stack
-    # occupancy is (WIDTH-1)*depth + 1 (each visit pops one entry and
-    # pushes at most WIDTH children).
-    depth_token: jnp.ndarray
-    num_nodes: int
-    num_leaves: int
-    num_tris: int
-
-    @property
-    def max_depth(self) -> int:
-        return self.depth_token.shape[0]
-
-    @property
-    def max_stack(self) -> int:
-        return (WIDTH - 1) * self.max_depth + 1
 
 
 def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
                   tri_verts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Node/leaf rows from frozen topology + current binary-node AABBs +
     current triangle vertices. Pure numpy; called by build and refit."""
-    W_n = len(topo.sl)
+    W_n = len(topo.ptr)
     cap = topo.leaf_cap
-    valid, sl = topo.valid, topo.sl
+    L = len(topo.orig)
+
+    # leaf data + tight leaf boxes straight from the triangles
+    safe_orig = np.clip(topo.orig, 0, len(tri_verts) - 1)
+    v = tri_verts[safe_orig]  # [L, 8, 3, 3]
+    occ = topo.in_range[:, :, None, None]
+    vlo = np.where(occ, v, np.inf).min(axis=(1, 2))  # [L, 3]
+    vhi = np.where(occ, v, -np.inf).max(axis=(1, 2))
+    leaf_lo = np.where(np.isfinite(vlo), vlo, 0.0).astype(np.float32)
+    leaf_hi = np.where(np.isfinite(vhi), vhi, 0.0).astype(np.float32)
+
+    # child slot boxes: internal slots from the binary refit, leaf slots
+    # from their bins, empty slots zero
+    is_int = topo.int_ids >= 0
+    is_leaf_slot = topo.ptr <= -2
+    leaf_ids = np.where(is_leaf_slot, -2 - topo.ptr, 0)
+    box_lo = np.zeros((W_n, WIDTH, 3), np.float32)
+    box_hi = np.zeros((W_n, WIDTH, 3), np.float32)
+    box_lo[is_int] = b_min[np.clip(topo.int_ids, 0, len(b_min) - 1)][is_int]
+    box_hi[is_int] = b_max[np.clip(topo.int_ids, 0, len(b_max) - 1)][is_int]
+    box_lo[is_leaf_slot] = leaf_lo[leaf_ids[is_leaf_slot]]
+    box_hi[is_leaf_slot] = leaf_hi[leaf_ids[is_leaf_slot]]
+
     nodes = np.zeros((W_n, 128), np.float32)
-    nodes[:, 0:24] = np.where(
-        valid[:, None, :], b_min[sl].transpose(0, 2, 1), 0.0
-    ).reshape(W_n, 24)
-    nodes[:, 24:48] = np.where(
-        valid[:, None, :], b_max[sl].transpose(0, 2, 1), 0.0
-    ).reshape(W_n, 24)
+    nodes[:, 0:24] = box_lo.transpose(0, 2, 1).reshape(W_n, 24)
+    nodes[:, 24:48] = box_hi.transpose(0, 2, 1).reshape(W_n, 24)
     nodes[:, 48:56] = topo.ptr.astype(np.float32)
     nodes[:, 56] = topo.node_axis.astype(np.float32)
 
-    L = len(topo.leaf_nodes)
     leaves = np.zeros((max(L, 1), 128), np.float32)
     leaves[:, 72:80] = -1.0
     if L:
-        v = tri_verts[topo.orig]  # [L, cap, 3, 3]
         data = np.zeros((L, 9, WIDTH), np.float32)
         data[:, 0:3, :cap] = v[:, :, 0].transpose(0, 2, 1)
         data[:, 3:6, :cap] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
@@ -154,6 +131,42 @@ def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
     )
 
 
+class WideBVH(NamedTuple):
+    """Node/leaf records are single 128-float rows so one aligned DMA (or
+    one VMEM row) fetches a whole visit:
+
+      nodes[m]:  cols c*8+j (c<6) = child-box component c of slot j
+                 (lox,loy,loz,hix,hiy,hiz); cols 48+j = child pointer,
+                 f32-encoded (>= 0 wide node, -1 empty, <= -2 leaf ~ptr);
+                 col 56 = dominant child-sort axis
+      leaves[l]: cols c*8+j (c<9) = triangle component c of slot j
+                 (v0,e1,e2); cols 72+j = original tri id (f32, -1 empty)
+
+    f32 encoding of ids is exact below 2^24 — a 16M-triangle/node cap.
+    """
+
+    nodes: jnp.ndarray  # [M, 128] f32
+    leaves: jnp.ndarray  # [L, 128] f32
+    bounds: jnp.ndarray  # [2, 3] f32 scene AABB (for ray-sort keys)
+    # [depth] u8 zeros: the wide tree's level count, encoded in a *shape*
+    # so traversal dispatch can branch on it statically under jit (pytree
+    # int leaves become tracers; shapes stay concrete). Worst-case stack
+    # occupancy is (WIDTH-1)*depth + 1 (each visit pops one entry and
+    # pushes at most WIDTH children).
+    depth_token: jnp.ndarray
+    num_nodes: int
+    num_leaves: int
+    num_tris: int
+
+    @property
+    def max_depth(self) -> int:
+        return self.depth_token.shape[0]
+
+    @property
+    def max_stack(self) -> int:
+        return (WIDTH - 1) * self.max_depth + 1
+
+
 def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
                leaf_cap: int = LEAF_CAP, with_topology: bool = False):
     """tri_verts: [T, 3, 3] world space. leaf_cap <= 8 bounds triangles per
@@ -164,14 +177,14 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     T = len(tri_verts)
     if binary is None:
         binary = lbvh.build(tri_verts, leaf_size=min(4, leaf_cap),
-                            pad_nodes_to_pow2=False)
+                            pad_nodes_to_pow2=False, as_numpy=True)
 
     b_left = np.asarray(binary.left).astype(np.int64)
     b_count = np.asarray(binary.count).astype(np.int64)
     b_escape = np.asarray(binary.escape).astype(np.int64)
     b_min = np.asarray(binary.aabb_min)
     b_max = np.asarray(binary.aabb_max)
-    order = np.asarray(binary.tri_order)
+    order = np.asarray(binary.tri_order).astype(np.int64)
 
     M = binary.num_nodes
     is_leaf = b_count > 0
@@ -195,13 +208,8 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     # slots[f, j] = binary node id or -1
     EMPTY = np.int64(-1)
     frontier = np.asarray([[0] + [-1] * (WIDTH - 1)], np.int64)
-    if T <= leaf_cap and is_leaf[0]:
-        # single-leaf degenerate scene
-        frontier = frontier  # root stays, handled below
 
     all_rows = []  # (slots [F,8]) per level
-    wide_offsets = []  # running wide-node index offset per level
-    total_wide = 0
 
     while len(frontier):
         slots = frontier.copy()
@@ -239,8 +247,6 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
             if len(next_nodes)
             else np.zeros((0, WIDTH), np.int64)
         )
-        wide_offsets.append(total_wide)
-        total_wide += len(slots)
 
     slots_all = np.concatenate(all_rows, axis=0)  # [W, 8] binary ids
     W = len(slots_all)
@@ -251,22 +257,13 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
 
     # wide-node ids for internal children: they are exactly the next-level
     # frontier rows, laid out in row-major traversal order of child_internal
-    ptr = np.full((W, WIDTH), -1, np.int64)
     internal_order = np.cumsum(child_internal.reshape(-1)) - 1
     internal_order = internal_order.reshape(W, WIDTH)
-    # offset: children of level k live at level k+1's base
     level_sizes = [len(r) for r in all_rows]
     level_of_row = np.repeat(np.arange(len(all_rows)), level_sizes)
-    # base wide-id of the next level for each row
-    next_base = np.zeros(len(all_rows), np.int64)
-    acc = 0
-    for k in range(len(all_rows)):
-        acc += level_sizes[k]
-        next_base[k] = acc
-    # number of internal children before each level
+    next_base = np.cumsum(level_sizes)
     int_before = np.zeros(len(all_rows) + 1, np.int64)
     row_starts = np.cumsum([0] + level_sizes)
-    flat_int = child_internal.reshape(-1)
     for k in range(len(all_rows)):
         int_before[k + 1] = int_before[k] + child_internal[
             row_starts[k] : row_starts[k + 1]
@@ -276,13 +273,70 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
         + internal_order
         - int_before[level_of_row][:, None]
     )
-    ptr[child_internal] = child_wide_id[child_internal]
 
-    # leaves: one per leaf child, numbered in flat order
-    leaf_order = np.cumsum(child_leaf.reshape(-1)) - 1
-    leaf_order = leaf_order.reshape(W, WIDTH)
-    n_leaves = int(child_leaf.sum())
-    ptr[child_leaf] = -2 - leaf_order[child_leaf]
+    assert W < (1 << 24) and T < (1 << 24), "f32 id encoding cap exceeded"
+
+    # --- leaf-bin packing: group each node's leaf children into bins of
+    # up to leaf_cap triangles (first-fit decreasing). The traversal
+    # kernel intersects all 8 slots of every leaf row it visits, so
+    # near-full rows directly cut leaf ALU (~1.5x on median scenes). A
+    # bin's triangles need not be a contiguous binary range — leaf boxes
+    # are computed from the triangles themselves in assemble_rows. ---
+    int_ids = np.full((W, WIDTH), -1, np.int64)
+    ptr = np.full((W, WIDTH), -1, np.int64)
+    orig_rows: list[np.ndarray] = []
+    cent = np.zeros((W, WIDTH, 3), np.float64)
+    with np.errstate(invalid="ignore"):
+        # padded binary nodes carry +/-inf boxes; their centroids are
+        # never read (they back no slot)
+        b_cent = np.nan_to_num((b_min + b_max) * 0.5,
+                               posinf=0.0, neginf=0.0)
+    tri_cent_lo = None  # lazy per-bin centroid source
+
+    for r in range(W):
+        col = 0
+        for j in range(WIDTH):
+            if child_internal[r, j]:
+                int_ids[r, col] = slots_all[r, j]
+                ptr[r, col] = child_wide_id[r, j]
+                cent[r, col] = b_cent[slots_all[r, j]]
+                col += 1
+        js = [j for j in range(WIDTH) if child_leaf[r, j]]
+        if js:
+            items = sorted(js, key=lambda j: -counts[slots_all[r, j]])
+            bins: list[list[int]] = []
+            bin_counts: list[int] = []
+            for j in items:
+                c = int(counts[slots_all[r, j]])
+                for bi in range(len(bins)):
+                    if bin_counts[bi] + c <= leaf_cap:
+                        bins[bi].append(j)
+                        bin_counts[bi] += c
+                        break
+                else:
+                    bins.append([j])
+                    bin_counts.append(c)
+            for members in bins:
+                tri_ids = np.concatenate([
+                    order[starts[slots_all[r, j]]:
+                          starts[slots_all[r, j]] + counts[slots_all[r, j]]]
+                    for j in members
+                ])
+                orig_rows.append(tri_ids)
+                ptr[r, col] = -2 - (len(orig_rows) - 1)
+                # bin centroid = mean of member binary-node centroids
+                cent[r, col] = b_cent[
+                    [slots_all[r, j] for j in members]
+                ].mean(axis=0)
+                col += 1
+
+    n_leaves = len(orig_rows)
+    orig = np.full((max(n_leaves, 1), leaf_cap), -1, np.int64)
+    in_range = np.zeros((max(n_leaves, 1), leaf_cap), bool)
+    for i, ids in enumerate(orig_rows):
+        orig[i, : len(ids)] = ids
+        in_range[i, : len(ids)] = True
+    orig = np.clip(orig, 0, max(T - 1, 0))  # padding indexes row 0 safely
 
     # ordered traversal: sort each node's child slots ascending by centroid
     # along the node's dominant (max centroid spread) axis, and record that
@@ -290,38 +344,23 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     # order (far first, near last) so near children pop first and the
     # per-lane t-prune culls far subtrees — the packet analogue of the
     # hardware BVH's ordered traversal.
-    cent = (b_min[sl] + b_max[sl]) * 0.5  # [W, 8, 3]
-    cmin = np.where(valid[:, :, None], cent, np.inf).min(axis=1)
-    cmax = np.where(valid[:, :, None], cent, -np.inf).max(axis=1)
+    slot_used = ptr != -1
+    cmin = np.where(slot_used[:, :, None], cent, np.inf).min(axis=1)
+    cmax = np.where(slot_used[:, :, None], cent, -np.inf).max(axis=1)
     spread = np.where(np.isfinite(cmin) & np.isfinite(cmax), cmax - cmin, 0.0)
     node_axis = spread.argmax(axis=1)  # [W]
     key = np.where(
-        valid,
+        slot_used,
         np.take_along_axis(cent, node_axis[:, None, None], axis=2)[..., 0],
         np.inf,
     )
     slot_order = np.argsort(key, axis=1, kind="stable")  # [W, 8]
-    sl = np.take_along_axis(sl, slot_order, axis=1)
-    valid = np.take_along_axis(valid, slot_order, axis=1)
+    int_ids = np.take_along_axis(int_ids, slot_order, axis=1)
     ptr = np.take_along_axis(ptr, slot_order, axis=1)
 
-    assert W < (1 << 24) and T < (1 << 24), "f32 id encoding cap exceeded"
-
-    # leaf triangle ids: each leaf child covers sorted range
-    # [start, start+count) of the Morton order — topology, not geometry.
-    # leaf ids were numbered over the PRE-sort flat slot order above, so
-    # leaf_nodes must index the unsorted slots.
-    leaf_nodes = slots_all[child_leaf]
-    leaf_starts = starts[leaf_nodes]
-    leaf_counts = counts[leaf_nodes]
-    tri_idx = leaf_starts[:, None] + np.arange(leaf_cap)[None, :]
-    in_range = np.arange(leaf_cap)[None, :] < leaf_counts[:, None]
-    tri_idx = np.clip(tri_idx, 0, T - 1)
-    orig = order[tri_idx]  # [L, leaf_cap] original triangle ids
-
     topo = WideTopology(
-        sl=sl, valid=valid, ptr=ptr, node_axis=node_axis,
-        leaf_nodes=leaf_nodes, orig=orig, in_range=in_range,
+        int_ids=int_ids, ptr=ptr, node_axis=node_axis,
+        orig=orig, in_range=in_range,
         n_levels=max(len(all_rows), 1), leaf_cap=leaf_cap,
     )
     wbvh = refit_wide(topo, b_min, b_max, tri_verts)
