@@ -148,10 +148,11 @@ def _make_kernel(any_hit: bool, hbm: bool):
                *refs):
         if hbm:
             if any_hit:
-                (occ_ref, stack_ref, node_buf, leaf_buf, sems) = refs
+                (occ_ref, stack_ref, node_buf, leaf_buf, sems,
+                 dma_ref) = refs
             else:
                 (t_ref, tri_ref, u_ref, v_ref, stack_ref, node_buf,
-                 leaf_buf, sems) = refs
+                 leaf_buf, sems, dma_ref) = refs
         else:
             if any_hit:
                 (occ_ref, stack_ref) = refs
@@ -177,29 +178,50 @@ def _make_kernel(any_hit: bool, hbm: bool):
 
         stack_ref[0] = 0
 
-        def fetch(node):
-            """HBM mode: synchronous row fetch at pop time. One outstanding
-            DMA — coherent packets can push dozens of children back-to-back
-            and fetch-on-push overflows the hardware DMA queue (observed
-            device aborts); the ~1 us stall is small next to the visit's
-            vector work."""
+        # Two-visit DMA pipelining: start/wait are issued separately so
+        # the next pop's row transfers while the current visit's vector
+        # work runs. Predicting the next pop as stack[slot-1] is exact
+        # whenever the visit pushes nothing — every leaf visit — and
+        # pushes never write below the popped slot, so the prediction
+        # source is stable. At most one copy per buffer is in flight;
+        # waits reconstruct the copy from the recorded node id.
+        def fetch_start(buf, node):
             @pl.when(node >= 0)
             def _():
-                cp = pltpu.make_async_copy(
+                pltpu.make_async_copy(
                     nodes_ref.at[jnp.maximum(node, 0)],
-                    node_buf.at[0], sems.at[0],
-                )
-                cp.start()
-                cp.wait()
+                    node_buf.at[buf], sems.at[buf],
+                ).start()
 
             @pl.when(node < 0)
             def _():
-                cp = pltpu.make_async_copy(
+                pltpu.make_async_copy(
                     leaves_ref.at[jnp.maximum(-2 - node, 0)],
-                    leaf_buf.at[0], sems.at[0],
-                )
-                cp.start()
-                cp.wait()
+                    leaf_buf.at[buf], sems.at[buf],
+                ).start()
+
+        def fetch_wait(buf, node):
+            @pl.when(node >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    nodes_ref.at[jnp.maximum(node, 0)],
+                    node_buf.at[buf], sems.at[buf],
+                ).wait()
+
+            @pl.when(node < 0)
+            def _():
+                pltpu.make_async_copy(
+                    leaves_ref.at[jnp.maximum(-2 - node, 0)],
+                    leaf_buf.at[buf], sems.at[buf],
+                ).wait()
+
+        if hbm:
+            # kick off the root row; the loop invariant is "the row for
+            # stack[top-1] is in flight into buffer dma_ref[0]"
+            dma_ref[0] = 0
+            dma_ref[1] = 0
+            dma_ref[2] = 1
+            fetch_start(jnp.int32(0), jnp.int32(0))
 
         def cond(carry):
             if any_hit:
@@ -212,7 +234,16 @@ def _make_kernel(any_hit: bool, hbm: bool):
             slot = top - 1
             node = stack_ref[slot]
             if hbm:
-                fetch(node)
+                cur = dma_ref[0]
+                fetch_wait(cur, node)
+                dma_ref[2] = 0
+                # prefetch the predicted next pop into the other buffer
+                pred = stack_ref[jnp.maximum(slot - 1, 0)]
+                do_pref = slot > 0
+
+                @pl.when(do_pref)
+                def _():
+                    fetch_start(1 - cur, pred)
 
             if any_hit:
                 occluded = occ_ref[0] > 0
@@ -223,12 +254,12 @@ def _make_kernel(any_hit: bool, hbm: bool):
 
             def nrow(col):
                 if hbm:
-                    return node_buf[0, col]
+                    return node_buf[cur, col]
                 return nodes_ref[jnp.maximum(node, 0), col]
 
             def lrow(col):
                 if hbm:
-                    return leaf_buf[0, col]
+                    return leaf_buf[cur, col]
                 return leaves_ref[jnp.maximum(-2 - node, 0), col]
 
             def internal(top):
@@ -318,6 +349,27 @@ def _make_kernel(any_hit: bool, hbm: bool):
                 return top - 1
 
             new_top = jax.lax.cond(node < 0, leaf, internal, top)
+            if hbm:
+                # reconcile the prefetch with the actual next pop: a hit
+                # means the row is already arriving; a miss retires the
+                # (already overlapped) copy and fetches the right row
+                nt_pos = new_top > 0
+                next_node = stack_ref[jnp.maximum(new_top - 1, 0)]
+                pref_hit = do_pref & nt_pos & (next_node == pred)
+
+                @pl.when(do_pref & jnp.logical_not(pref_hit))
+                def _():
+                    fetch_wait(1 - cur, pred)
+
+                @pl.when(nt_pos & jnp.logical_not(pref_hit))
+                def _():
+                    fetch_start(1 - cur, next_node)
+
+                @pl.when(nt_pos)
+                def _():
+                    dma_ref[0] = 1 - cur
+                    dma_ref[1] = next_node
+                    dma_ref[2] = 1
             if any_hit:
                 all_done = jnp.all((occ_ref[0] > 0) | ~live0)
                 return new_top, all_done
@@ -327,6 +379,12 @@ def _make_kernel(any_hit: bool, hbm: bool):
             jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(False)))
         else:
             jax.lax.while_loop(cond, body, jnp.int32(1))
+
+        if hbm:
+            # drain any copy still in flight (early exit paths)
+            @pl.when(dma_ref[2] == 1)
+            def _():
+                fetch_wait(dma_ref[0], dma_ref[1])
 
     return kernel
 
@@ -410,9 +468,11 @@ def _scratch(hbm: bool):
     if hbm:
         return [
             pltpu.SMEM((HBM_STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((1, 128), jnp.float32),  # current node row
-            pltpu.VMEM((1, 128), jnp.float32),  # current leaf row
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, 128), jnp.float32),  # double-buffered node rows
+            pltpu.VMEM((2, 128), jnp.float32),  # double-buffered leaf rows
+            pltpu.SemaphoreType.DMA((2,)),
+            # [0] current buffer, [1] in-flight node id, [2] in-flight flag
+            pltpu.SMEM((4,), jnp.int32),
         ]
     return [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
 
