@@ -138,15 +138,18 @@ def _load_rays(refs):
     return o, d, inv, tmax
 
 
-def _make_kernel(any_hit: bool, hbm: bool):
-    """One traversal kernel; node/leaf rows come either from whole-scene
-    VMEM arrays or from stack-slot VMEM buffers filled by fetch-on-push
-    DMAs out of HBM."""
+def _make_kernel(any_hit: bool, dma_rows: bool):
+    """One traversal kernel. dma_rows=True (all real-TPU dispatches, both
+    VMEM- and HBM-resident scenes): visited rows are DMA'd into SMEM
+    double buffers with next-pop prefetch — every consumer of a row is a
+    scalar, and scalar reads from VMEM pay a vreg-load + lane-extract
+    each, so staging the row in SMEM makes the ~60 per-visit reads cheap.
+    dma_rows=False (interpret mode / CPU tests): direct array reads."""
 
     def kernel(nodes_ref, leaves_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                *refs):
-        if hbm:
+        if dma_rows:
             if any_hit:
                 (occ_ref, stack_ref, node_buf, leaf_buf, sems,
                  dma_ref) = refs
@@ -215,7 +218,7 @@ def _make_kernel(any_hit: bool, hbm: bool):
                     leaf_buf.at[buf], sems.at[buf],
                 ).wait()
 
-        if hbm:
+        if dma_rows:
             # kick off the root row; the loop invariant is "the row for
             # stack[top-1] is in flight into buffer dma_ref[0]"
             dma_ref[0] = 0
@@ -233,7 +236,7 @@ def _make_kernel(any_hit: bool, hbm: bool):
             top = carry[0] if any_hit else carry
             slot = top - 1
             node = stack_ref[slot]
-            if hbm:
+            if dma_rows:
                 cur = dma_ref[0]
                 fetch_wait(cur, node)
                 dma_ref[2] = 0
@@ -253,12 +256,12 @@ def _make_kernel(any_hit: bool, hbm: bool):
                 prune = t_ref[0]
 
             def nrow(col):
-                if hbm:
+                if dma_rows:
                     return node_buf[cur, col]
                 return nodes_ref[jnp.maximum(node, 0), col]
 
             def lrow(col):
-                if hbm:
+                if dma_rows:
                     return leaf_buf[cur, col]
                 return leaves_ref[jnp.maximum(-2 - node, 0), col]
 
@@ -349,7 +352,7 @@ def _make_kernel(any_hit: bool, hbm: bool):
                 return top - 1
 
             new_top = jax.lax.cond(node < 0, leaf, internal, top)
-            if hbm:
+            if dma_rows:
                 # reconcile the prefetch with the actual next pop: a hit
                 # means the row is already arriving; a miss retires the
                 # (already overlapped) copy and fetches the right row
@@ -380,7 +383,7 @@ def _make_kernel(any_hit: bool, hbm: bool):
         else:
             jax.lax.while_loop(cond, body, jnp.int32(1))
 
-        if hbm:
+        if dma_rows:
             # drain any copy still in flight (early exit paths)
             @pl.when(dma_ref[2] == 1)
             def _():
@@ -464,17 +467,22 @@ def _scene_specs(wbvh: WideBVH, hbm: bool):
     return [full(wbvh.nodes), full(wbvh.leaves)]
 
 
-def _scratch(hbm: bool):
-    if hbm:
-        return [
-            pltpu.SMEM((HBM_STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((2, 128), jnp.float32),  # double-buffered node rows
-            pltpu.VMEM((2, 128), jnp.float32),  # double-buffered leaf rows
-            pltpu.SemaphoreType.DMA((2,)),
-            # [0] current buffer, [1] in-flight node id, [2] in-flight flag
-            pltpu.SMEM((4,), jnp.int32),
-        ]
-    return [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+def _scratch(hbm: bool, dma_rows: bool = True):
+    stack = pltpu.SMEM(
+        (HBM_STACK_DEPTH if hbm else STACK_DEPTH,), jnp.int32)
+    if not dma_rows:
+        return [stack]
+    return [
+        stack,
+        # row buffers live in SMEM: every consumer is a scalar read
+        # (broadcast against ray vectors), and scalar loads from VMEM
+        # pay a vreg-load + lane-extract each — SMEM reads are cheap
+        pltpu.SMEM((2, 128), jnp.float32),  # double-buffered node rows
+        pltpu.SMEM((2, 128), jnp.float32),  # double-buffered leaf rows
+        pltpu.SemaphoreType.DMA((2,)),
+        # [0] current buffer, [1] in-flight node id, [2] in-flight flag
+        pltpu.SMEM((4,), jnp.int32),
+    ]
 
 
 def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
@@ -491,12 +499,12 @@ def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
     ]
     out_spec = _ray_spec_for(rows)
     t, tri, u, v = pl.pallas_call(
-        _make_kernel(any_hit=False, hbm=hbm),
+        _make_kernel(any_hit=False, dma_rows=not interpret),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
         out_specs=[out_spec] * 4,
         out_shape=out_shapes,
-        scratch_shapes=_scratch(hbm),
+        scratch_shapes=_scratch(hbm, dma_rows=not interpret),
         interpret=interpret,
     )(wbvh.nodes, wbvh.leaves, *rays)
     flat = lambda x: x.reshape(-1)[:N]
@@ -511,12 +519,12 @@ def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
     rows = block // 128
     rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in, block)
     occ = pl.pallas_call(
-        _make_kernel(any_hit=True, hbm=hbm),
+        _make_kernel(any_hit=True, dma_rows=not interpret),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
         out_specs=_ray_spec_for(rows),
         out_shape=jax.ShapeDtypeStruct((G, rows, 128), jnp.int32),
-        scratch_shapes=_scratch(hbm),
+        scratch_shapes=_scratch(hbm, dma_rows=not interpret),
         interpret=interpret,
     )(wbvh.nodes, wbvh.leaves, *rays)
     return occ.reshape(-1)[:N] > 0
