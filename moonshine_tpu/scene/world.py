@@ -220,17 +220,24 @@ class World:
 
     # --- freeze ---
 
-    def build(self, builder: str = "karras") -> DeviceScene:
-        """Freeze to device arrays. builder: 'karras' (Morton/LBVH, fastest
-        build, refit-friendly) or 'sah' (binned SAH — higher tree quality,
-        measured ~10% on incoherent closest-hit; build is ~2x slower).
+    def build(self, builder: str = "auto") -> DeviceScene:
+        """Freeze to device arrays. builder: 'auto' (default) picks
+        'karras' (Morton/LBVH) below 50k triangles and 'sah' (binned SAH)
+        above — SAH's higher tree quality is worth +6-11% on the big
+        incoherent scenes that are traversal-bound, while small coherent
+        scenes measure a few percent better on the flatter Morton trees.
+        Both refit identically.
 
         Returns the cached scene when nothing changed; rebuilds only dirty
         stages otherwise (transform edits refit, material/env edits swap
         just their tables)."""
-        if self._builder is not None and builder != self._builder:
+        # 'auto' matches whatever it resolved to last time; an explicit
+        # different builder forces a full rebuild
+        if (self._builder is not None and builder != "auto"
+                and builder != self._builder):
             self._dirty_topology = True
-        self._builder = builder
+        if builder != "auto":
+            self._builder = builder
 
         if self._scene is not None and not (
             self._dirty_topology or self._dirty_transforms
@@ -301,6 +308,9 @@ class World:
             )
         T = len(verts)
 
+        if builder == "auto":
+            builder = "sah" if T > 50_000 else "karras"
+            self._builder = builder
         if builder == "sah":
             bvh = lbvh.build_sah(verts, as_numpy=True)
         else:
@@ -348,7 +358,7 @@ class World:
         recordRebuild (TLAS refit, Accel.zig:567-679)."""
         c = self._cache
         if c is None:
-            return self._full_build(self._builder or "karras")
+            return self._full_build(self._builder or "auto")
         verts, normals, uvs = _world_transform(c, self.instances)
 
         b = c.bvh_host
