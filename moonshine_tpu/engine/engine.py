@@ -81,6 +81,7 @@ class Engine:
         )
         self._scene = None
         self._dirty = True
+        self._pending_rays: list = []  # device counters from wait=False frames
         self.metrics: dict = {"renders": 0, "rays": 0.0, "render_seconds": 0.0}
 
     # --- images (TextureManager surface: moonshine.h CreateSolidTexture*/CreateRawTexture) ---
@@ -284,14 +285,24 @@ class Engine:
 
     # --- render (moonshine.h HdMoonshineRender: one 1-spp accumulate) ---
 
-    def render(self, sensor: int, lens: int, spp: int = 1) -> np.ndarray:
+    def render(self, sensor: int, lens: int, spp: int = 1,
+               wait: bool = True) -> Optional[np.ndarray]:
+        """Accumulate spp progressive samples.
+
+        wait=True (default, hydra semantics): blocks until the frame is on
+        the host and returns it. wait=False is the Display double-buffer
+        analogue (displaysystem/Display.zig:14-28 frames_in_flight=2): the
+        dispatch is queued on the device and the call returns None
+        immediately — XLA's async dispatch overlaps it with whatever the
+        host does next (e.g. serving the previous frame); read results
+        later with get_sensor_data."""
         with self._lock:
             scene = self._ensure_scene()
             s = self.sensors[sensor]
             lens_arrays = LensArrays.from_lens(self.lenses[lens])
             h, w = s.image.shape[:2]
             t0 = time.perf_counter()
-            rays_total = 0.0
+            rays_parts = []
             for _ in range(spp):
                 img, rays = render_sample(
                     scene, lens_arrays, h, w, s.sample_count, self.config,
@@ -299,15 +310,24 @@ class Engine:
                     False,
                 )
                 s = accumulate(s, img, 1)
-                rays_total += float(rays)
-            np.asarray(s.image)  # sync
+                rays_parts.append(rays)
             self.sensors[sensor] = s
+            if not wait:
+                # no host sync at all — even reading the ray counter would
+                # block on the dispatched computation
+                self.metrics["renders"] += 1
+                self._pending_rays.extend(rays_parts)
+                return None
+            rays_now = sum(float(r) for r in rays_parts)
+            rays_pending = sum(float(r) for r in self._pending_rays)
+            self._pending_rays.clear()
+            np.asarray(s.image)  # sync
             dt = time.perf_counter() - t0
             self.metrics["renders"] += 1
-            self.metrics["rays"] += rays_total
+            self.metrics["rays"] += rays_now + rays_pending
             self.metrics["render_seconds"] += dt
             self.metrics["last_frame_seconds"] = dt
-            self.metrics["last_mrays_per_sec"] = rays_total / dt / 1e6
+            self.metrics["last_mrays_per_sec"] = rays_now / dt / 1e6
             return self.get_sensor_data(sensor)
 
     # --- object picking (ObjectPicker.zig:89-128, input.hlsl) ---

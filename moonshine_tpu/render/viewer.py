@@ -118,13 +118,18 @@ class Viewer:
 
     # --- frame loop ---
 
-    def step(self) -> np.ndarray:
-        """One 1-spp accumulate; returns the running-mean RGBA frame."""
+    def step(self, wait: bool = True):
+        """One 1-spp accumulate; returns the running-mean RGBA frame.
+
+        wait=False queues the frame on the device and returns immediately
+        — the Display double-buffer analogue (Display.zig:14-28): the
+        render loop stays ahead of the (tunnel-latency) host syncs, and
+        frame_png serves whatever has finished accumulating."""
         if self.max_samples and (
             self.engine.sample_count(self.sensor) >= self.max_samples
         ):
             return self.engine.get_sensor_data(self.sensor)
-        return self.engine.render(self.sensor, self.lens_handle)
+        return self.engine.render(self.sensor, self.lens_handle, wait=wait)
 
     def frame_png(self) -> bytes:
         from PIL import Image
@@ -257,6 +262,7 @@ class Viewer:
 
         if background_render:
             def loop():
+                n = 0
                 while not viewer._stop.is_set():
                     idle = (
                         time.time() - viewer._last_poll > viewer.IDLE_TIMEOUT
@@ -268,7 +274,10 @@ class Viewer:
                     if idle or done:
                         time.sleep(0.25)
                         continue
-                    viewer.step()
+                    # frames-in-flight pipelining: queue asynchronously,
+                    # syncing every 4th frame to bound the device queue
+                    n += 1
+                    viewer.step(wait=(n % 4 == 0))
 
             threading.Thread(target=loop, daemon=True).start()
 

@@ -167,6 +167,19 @@ class TestViewer:
             base + "/status", timeout=5).read())
         assert status["config"]["max_bounces"] == 3
 
+    def test_async_frame_pipelining(self):
+        """wait=False queues frames without host syncs (the Display
+        frames-in-flight analogue); a later wait drains and accounts
+        every queued sample."""
+        v = Viewer(small_engine(), front_lens(), 8, 8)
+        assert v.step(wait=False) is None
+        assert v.step(wait=False) is None
+        frame = v.step(wait=True)  # drains the queue
+        assert frame is not None
+        assert v.engine.sample_count(v.sensor) == 3
+        assert v.engine.metrics["rays"] > 0  # pending counters accounted
+        assert np.isfinite(frame).all()
+
     def test_tonemap(self):
         lin = np.zeros((2, 2, 4), np.float32)
         lin[..., :3] = [[[0.0, 0.5, 10.0]] * 2] * 2
