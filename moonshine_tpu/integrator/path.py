@@ -60,6 +60,15 @@ class PathConfig:
     mesh_samples_per_bounce: int = 1
     # None = auto: unroll the bounce loop when max_bounces + 2 <= 10
     unroll: bool | None = None
+    # re-sort the whole lane state by ray coherence once per bounce, so
+    # every traversal dispatch (closest + both shadow batches) sees
+    # coherence-ordered rays and the HBM wrappers skip their per-dispatch
+    # sorts. Images are bit-identical (per-lane RNG streams travel with
+    # their lanes; radiance scatters back by pixel id at the end).
+    # None = auto: on for HBM-streamed scenes (+7% room), off for
+    # VMEM-resident ones (the sort scrambles tile-coherent bounce rays
+    # there, measured -40% on mirror_glass).
+    resort_bounces: bool | None = None
 
 
 def power_heuristic(numf, f_pdf, numg, g_pdf):
@@ -198,30 +207,33 @@ def _emissive_at(scene, shade_row, bary):
     return block[:, TX.EMISSIVE]
 
 
-def _closest(scene, o, d, t_max, active):
+def _closest(scene, o, d, t_max, active, presorted: bool = False):
     """Traversal dispatch: VMEM packet kernel for small scenes, the
     HBM-streaming packet kernel beyond the VMEM budget, and the jnp
-    while_loop fallback when no wide BVH exists."""
+    while_loop fallback when no wide BVH exists. presorted=True (the
+    per-bounce state resort) skips the HBM wrappers' own sorting pass."""
     wide = getattr(scene, "wide", None)
     if wide is not None:
         if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
             return packet.closest_hit_packet(wide, o, d, t_max, active_in=active)
         if packet.stack_ok(wide, hbm=True):
             return packet.closest_hit_packet_hbm(wide, o, d, t_max,
-                                                 active_in=active)
+                                                 active_in=active,
+                                                 sort=not presorted)
     return traverse.closest_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
 
 
-def _any_hit(scene, o, d, t_max, active):
+def _any_hit(scene, o, d, t_max, active, presorted: bool = False):
     wide = getattr(scene, "wide", None)
     if wide is not None:
         if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
             return packet.any_hit_packet(wide, o, d, t_max, active_in=active)
         if packet.stack_ok(wide, hbm=True):
             return packet.any_hit_packet_hbm(wide, o, d, t_max,
-                                             active_in=active)
+                                             active_in=active,
+                                             sort=not presorted)
     return traverse.any_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
@@ -238,7 +250,15 @@ def _any_hit(scene, o, d, t_max, active):
 # compaction on this architecture.
 
 
-def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False):
+def _resolve_resort(scene, cfg: PathConfig) -> bool:
+    if cfg.resort_bounces is not None:
+        return cfg.resort_bounces
+    wide = getattr(scene, "wide", None)
+    return wide is not None and not packet.fits_vmem(wide)
+
+
+def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
+                 resort: bool = False):
     """One path-tracing bounce over the whole lane batch.
 
     `bounce` may be a traced scalar (while_loop mode) or a Python int
@@ -263,7 +283,7 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False):
     rng = st["rng"]
     rays = st["rays"] + jnp.sum(active)
 
-    hit = _closest(scene, o, d, INF_T, active)
+    hit = _closest(scene, o, d, INF_T, active, presorted=resort)
     is_hit = active & hit.is_hit
     miss = active & ~hit.is_hit
 
@@ -402,12 +422,16 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False):
         )
 
     if shadow_batches:
+        # shadow rays inherit the (possibly resorted) lane order; their
+        # origins are the hits of coherence-ordered rays, so the per-
+        # dispatch sort stays on only when the state itself is unsorted
         occ_all = _any_hit(
             scene,
             jnp.concatenate([b[0] for b in shadow_batches]),
             jnp.concatenate([b[1] for b in shadow_batches]),
             jnp.concatenate([b[2] for b in shadow_batches]),
             jnp.concatenate([b[3] for b in shadow_batches]),
+            presorted=resort,
         )
         n = position.shape[0]
         for i, (_, _, _, lane, payload) in enumerate(shadow_batches):
@@ -460,14 +484,31 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False):
     )
 
 
-# NOTE (measured, round 2): re-sorting the WHOLE lane state once per bounce
-# (so every dispatch sees coherence-sorted rays and the HBM wrappers skip
-# their per-dispatch sort) is a net LOSS end-to-end: inside the fused
-# pipeline the ~13 shared-permutation gathers do NOT fuse into one pass
-# (~65 ms/bounce at 262k lanes vs ~7 ms when benchmarked standalone), and
-# every ladder rung regressed (furnace 8.2->5.0, cornell 28.6->9.1,
-# room 0.93->0.75 Mrays/s). Per-dispatch ray-only sorting in the HBM
-# wrappers remains the winning arrangement; don't re-try state resorting.
+def _resort_state(scene, st):
+    """Reorder the whole lane state by ray coherence (8^3 origin cells x
+    direction octant; dead lanes to the tail). One argsort + 9 shared-perm
+    gathers, measured ~0.2 ms at 262k lanes. Lanes keep their RNG streams
+    and pixel ids, so images are bit-identical; trace_paths scatters
+    radiance back to pixel order at the end."""
+    wide = getattr(scene, "wide", None)
+    if wide is None:
+        return st
+    o, d, active = st["o"], st["d"], st["active"]
+    lo = wide.bounds[0]
+    inv_ext = 1.0 / jnp.maximum(wide.bounds[1] - lo, 1e-20)
+    cell = jnp.clip(((o - lo) * inv_ext * 8.0).astype(jnp.int32), 0, 7)
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    key = ((cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]) * 8 + octant
+    key = jnp.where(active, key, jnp.int32(1 << 20))
+    perm = jnp.argsort(key)
+    out = {}
+    for k, v in st.items():
+        out[k] = v if jnp.ndim(v) == 0 else v[perm]
+    return out
 
 
 def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
@@ -501,11 +542,23 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
     n_segments = cfg.max_bounces + 2
     unroll = cfg.unroll if cfg.unroll is not None else n_segments <= 10
 
+    resort = _resolve_resort(scene, cfg)
+
+    def finish(fs):
+        radiance = fs["radiance"]
+        if resort:
+            # lanes moved; scatter back to pixel order
+            radiance = jnp.zeros_like(radiance).at[fs["pix"]].set(radiance)
+        return radiance, fs["rng"], fs["rays"]
+
     if unroll:
         for bounce in range(n_segments):
+            if resort and bounce > 0:
+                st = _resort_state(scene, st)
             st = _bounce_body(scene, cfg, bounce, st,
-                              last=bounce == n_segments - 1)
-        return st["radiance"], st["rng"], st["rays"]
+                              last=bounce == n_segments - 1,
+                              resort=resort)
+        return finish(st)
 
     keys = tuple(st.keys())
 
@@ -516,11 +569,13 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
     def body(carry):
         bounce = carry[0]
         s = dict(zip(keys, carry[1:]))
-        s = _bounce_body(scene, cfg, bounce, s)
+        if resort:
+            s = _resort_state(scene, s)
+        s = _bounce_body(scene, cfg, bounce, s, resort=resort)
         return (bounce + 1,) + tuple(s[k] for k in keys)
 
     final = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32),) + tuple(st[k] for k in keys)
     )
     fs = dict(zip(keys, final[1:]))
-    return fs["radiance"], fs["rng"], fs["rays"]
+    return finish(fs)
