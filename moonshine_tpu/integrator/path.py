@@ -250,11 +250,18 @@ def _any_hit(scene, o, d, t_max, active, presorted: bool = False):
 # compaction on this architecture.
 
 
-def _resolve_resort(scene, cfg: PathConfig) -> bool:
+def _resolve_resort(scene, cfg: PathConfig, n_lanes: int) -> bool:
     if cfg.resort_bounces is not None:
         return cfg.resort_bounces
     wide = getattr(scene, "wide", None)
-    return wide is not None and not packet.fits_vmem(wide)
+    # measured: +7%/+29% on the HBM room rungs at 262k lanes, but a >10x
+    # collapse at >=1M lanes — the sort itself stays ~0.2 ms at any size,
+    # yet composed into the large unrolled graph XLA's schedule degrades
+    # badly (memory-pressure rematerialization). Auto mode keeps the win
+    # where it is measured and avoids the cliff; resort_bounces=True
+    # still forces it at any size.
+    return (wide is not None and not packet.fits_vmem(wide)
+            and n_lanes <= 600_000)
 
 
 def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
@@ -542,7 +549,7 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
     n_segments = cfg.max_bounces + 2
     unroll = cfg.unroll if cfg.unroll is not None else n_segments <= 10
 
-    resort = _resolve_resort(scene, cfg)
+    resort = _resolve_resort(scene, cfg, N)
 
     def finish(fs):
         radiance = fs["radiance"]

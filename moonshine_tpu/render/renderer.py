@@ -66,16 +66,30 @@ def _pixel_coords(height: int, width: int):
     return tiled(ys), tiled(xs), unpack
 
 
-@partial(jax.jit, static_argnames=("height", "width", "cfg", "flip_image"))
-def render_sample(scene, lens: LensArrays, height: int, width: int,
-                  sample_index, cfg: PathConfig, flip_image: bool = True):
-    """Trace one sample for every pixel.
+# lanes per device dispatch. Past ~1M lanes the fused bounce graph's live
+# state (tens of arrays x lanes x unrolled segments) exceeds what XLA can
+# schedule without collapsing (measured >10x throughput cliff between 1M
+# and 2M lanes on the 184k room scene); large frames render as sequential
+# row bands of at most this many pixels. RNG is (sample, x, y)-keyed, so
+# banding is invisible in the image.
+MAX_LANES = 512 * 1024
 
-    Returns (radiance [H, W, 3], rays_traced scalar). RNG streams are keyed
-    by (sample_index, x, y) (main.hlsl:85) so any chunking/sharding of this
-    dispatch produces identical images.
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg", "flip_image",
+                                   "band_h"))
+def render_sample(scene, lens: LensArrays, height: int, width: int,
+                  sample_index, cfg: PathConfig, flip_image: bool = True,
+                  y0=0, band_h: int | None = None):
+    """Trace one sample for every pixel of rows [y0, y0+band_h).
+
+    Returns (radiance [band_h, W, 3], rays_traced scalar); band_h defaults
+    to the full height. RNG streams are keyed by (sample_index, x, y)
+    (main.hlsl:85) so any chunking/sharding of this dispatch produces
+    identical images; y0 is traced so every band shares one compilation.
     """
-    py, px, unpack = _pixel_coords(height, width)
+    bh = band_h if band_h is not None else height
+    py, px, unpack = _pixel_coords(bh, width)
+    py = py + jnp.asarray(y0, jnp.uint32)  # absolute pixel rows
     rng = R.seed(jnp.asarray(sample_index, jnp.uint32), px, py)
 
     rng, jitter = R.next_float2(rng)
@@ -88,30 +102,50 @@ def render_sample(scene, lens: LensArrays, height: int, width: int,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "spp", "cfg",
-                                   "flip_image"))
-def render_spp(scene, lens: LensArrays, height: int, width: int,
-               start_index, spp: int, cfg: PathConfig,
-               flip_image: bool = True):
-    """Trace spp samples in ONE device dispatch (lax.fori_loop over
-    render_sample), summing radiance on-device.
-
-    The per-sample Python loop costs a host->device dispatch round-trip per
-    sample; batching the loop on-device is the analogue of the reference
-    recording all spp trace calls into a single command buffer
-    (offline/main.zig:131-165). Returns (radiance_sum [H,W,3], rays)."""
+                                   "flip_image", "band_h"))
+def _render_spp_band(scene, lens, height, width, y0, start_index, spp,
+                     cfg, flip_image, band_h):
     start = jnp.asarray(start_index, jnp.uint32)
 
     def body(i, carry):
         acc, rays_acc = carry
         img, rays = render_sample(
             scene, lens, height, width, start + jnp.uint32(i), cfg,
-            flip_image,
+            flip_image, y0=y0, band_h=band_h,
         )
         return acc + img, rays_acc + rays
 
-    init = (jnp.zeros((height, width, 3), jnp.float32),
+    init = (jnp.zeros((band_h, width, 3), jnp.float32),
             jnp.zeros((), jnp.float32))
     return jax.lax.fori_loop(0, spp, body, init)
+
+
+def render_spp(scene, lens: LensArrays, height: int, width: int,
+               start_index, spp: int, cfg: PathConfig,
+               flip_image: bool = True):
+    """Trace spp samples, summing radiance on-device.
+
+    Images at or below MAX_LANES pixels run as ONE device dispatch
+    (lax.fori_loop over render_sample — the analogue of the reference
+    recording all spp trace calls into a single command buffer,
+    offline/main.zig:131-165). Larger frames run as sequential row-band
+    dispatches of <= MAX_LANES pixels each (one shared compilation; see
+    MAX_LANES). Returns (radiance_sum [H,W,3], rays)."""
+    if height * width <= MAX_LANES:
+        return _render_spp_band(scene, lens, height, width, 0, start_index,
+                                spp, cfg, flip_image, band_h=height)
+
+    band_h = max(TILE_H, MAX_LANES // width // TILE_H * TILE_H)
+    imgs = []
+    rays_total = jnp.zeros((), jnp.float32)
+    for y0 in range(0, height, band_h):
+        bh = min(band_h, height - y0)  # exact last band: rays stay honest
+        img, rays = _render_spp_band(scene, lens, height, width, y0,
+                                     start_index, spp, cfg, flip_image,
+                                     band_h=bh)
+        imgs.append(img)
+        rays_total = rays_total + rays
+    return jnp.concatenate(imgs, axis=0), rays_total
 
 
 def render(scene, lens, height, width, spp, cfg: PathConfig,
