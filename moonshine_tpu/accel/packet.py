@@ -138,17 +138,26 @@ def _load_rays(refs):
     return o, d, inv, tmax
 
 
-def _make_kernel(any_hit: bool, dma_rows: bool):
+def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
     """One traversal kernel. dma_rows=True (all real-TPU dispatches, both
     VMEM- and HBM-resident scenes): visited rows are DMA'd into SMEM
     double buffers with next-pop prefetch — every consumer of a row is a
     scalar, and scalar reads from VMEM pay a vreg-load + lane-extract
     each, so staging the row in SMEM makes the ~60 per-visit reads cheap.
-    dma_rows=False (interpret mode / CPU tests): direct array reads."""
+    dma_rows=False (interpret mode / CPU tests): direct array reads.
+    count_visits adds a per-block visit-count output (profiling only)."""
 
     def kernel(nodes_ref, leaves_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                *refs):
+        cnt_ref = cnt_sc = None
+        if count_visits:
+            n_out = 1 if any_hit else 4
+            refs = list(refs)
+            cnt_ref = refs.pop(n_out)
+            cnt_sc = refs.pop()
+            cnt_sc[0] = 0
+            refs = tuple(refs)
         if dma_rows:
             if any_hit:
                 (occ_ref, stack_ref, node_buf, leaf_buf, sems,
@@ -236,6 +245,8 @@ def _make_kernel(any_hit: bool, dma_rows: bool):
             top = carry[0] if any_hit else carry
             slot = top - 1
             node = stack_ref[slot]
+            if count_visits:
+                cnt_sc[0] += 1
             if dma_rows:
                 cur = dma_ref[0]
                 fetch_wait(cur, node)
@@ -389,6 +400,9 @@ def _make_kernel(any_hit: bool, dma_rows: bool):
             def _():
                 fetch_wait(dma_ref[0], dma_ref[1])
 
+        if count_visits:
+            cnt_ref[0] = jnp.full_like(cnt_ref[0], cnt_sc[0])
+
     return kernel
 
 
@@ -485,7 +499,8 @@ def _scratch(hbm: bool, dma_rows: bool = True):
     ]
 
 
-def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
+def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
+                  count_visits=False):
     # interpret mode (CPU tests/dryruns) pays per-lane python/XLA-CPU cost;
     # keep its blocks small
     block = 1024 if interpret else (HBM_BLOCK if hbm else BLOCK)
@@ -498,20 +513,30 @@ def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
         jax.ShapeDtypeStruct((G, rows, 128), jnp.float32),
     ]
     out_spec = _ray_spec_for(rows)
-    t, tri, u, v = pl.pallas_call(
-        _make_kernel(any_hit=False, dma_rows=not interpret),
+    out_specs = [out_spec] * 4
+    scratch = _scratch(hbm, dma_rows=not interpret)
+    if count_visits:
+        out_shapes.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        scratch = scratch + [pltpu.SMEM((1,), jnp.int32)]
+    out = pl.pallas_call(
+        _make_kernel(any_hit=False, dma_rows=not interpret,
+                     count_visits=count_visits),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
-        out_specs=[out_spec] * 4,
+        out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=_scratch(hbm, dma_rows=not interpret),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(wbvh.nodes, wbvh.leaves, *rays)
+    t, tri, u, v = out[:4]
     flat = lambda x: x.reshape(-1)[:N]
     tmax_orig = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
     tri = flat(tri)
     t = jnp.where(tri >= 0, flat(t), tmax_orig)
-    return Hit(t=t, tri=tri, u=flat(u), v=flat(v))
+    hit = Hit(t=t, tri=tri, u=flat(u), v=flat(v))
+    return (hit, out[4]) if count_visits else hit
 
 
 def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):

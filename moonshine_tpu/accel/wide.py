@@ -57,6 +57,10 @@ class WideTopology(NamedTuple):
     in_range: np.ndarray  # [L, 8] bool occupied tri slots
     n_levels: int
     leaf_cap: int
+    # [K] ptr-encoded treelet entry points (>=0 wide node, <=-2 leaf) that
+    # tile the whole tree; see plan_treelets. Scheduling metadata only —
+    # traversal through nodes/leaves is unchanged.
+    treelet_roots: np.ndarray
 
 
 def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
@@ -110,6 +114,80 @@ def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
     return nodes, leaves
 
 
+def plan_treelets(ptr: np.ndarray, max_rows: int | None = None) -> np.ndarray:
+    """Partition the wide tree into subtree "treelets" for the scheduled
+    traversal (accel/treelet.py): walk down from the root, cutting a
+    treelet wherever a subtree's total row count (its node rows + leaf
+    rows) drops to `max_rows`. Leaf children hanging above any cut become
+    singleton leaf treelets. Returns ptr-encoded roots covering every
+    node/leaf exactly once.
+
+    Pure scheduling metadata: the traversal kernels still address the
+    global node/leaf arrays; treelets only bound each ray block's working
+    set. max_rows defaults to ~1/128 of the tree (K of order 100-300)."""
+    W = len(ptr)
+    is_leaf_slot = ptr <= -2
+    is_int_slot = ptr >= 0
+    cost = 1 + is_leaf_slot.sum(axis=1).astype(np.int64)
+    # children always have larger wide ids than their parent (BFS layout),
+    # so a single reverse sweep accumulates subtree costs bottom-up
+    child = np.clip(ptr, 0, W - 1)
+    for r in range(W - 1, -1, -1):
+        js = np.nonzero(is_int_slot[r])[0]
+        if len(js):
+            cost[r] += cost[child[r, js]].sum()
+    total = int(cost[0])
+    if max_rows is None:
+        max_rows = max(384, total // 128)
+    roots: list[int] = []
+    stack = [0]
+    while stack:
+        r = stack.pop()
+        if r <= -2 or cost[r] <= max_rows:
+            roots.append(r)
+            continue
+        for j in range(ptr.shape[1]):
+            c = int(ptr[r, j])
+            if c != -1:
+                stack.append(c)
+    return np.asarray(roots, np.int64)
+
+
+def _treelet_boxes(roots: np.ndarray, nodes: np.ndarray,
+                   leaves: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """AABB per treelet root, from the assembled rows: a node treelet's box
+    is the union of its row's occupied child-slot boxes; a leaf treelet's
+    box bounds its triangles. Recomputed on every refit (geometry moves)."""
+    K = len(roots)
+    lo = np.zeros((K, 3), np.float32)
+    hi = np.full((K, 3), -1.0, np.float32)  # inverted box: never hit
+    is_node = roots >= 0
+    if is_node.any():
+        rows = nodes[roots[is_node].astype(np.int64)]
+        slot_lo = rows[:, 0:24].reshape(-1, 3, WIDTH)
+        slot_hi = rows[:, 24:48].reshape(-1, 3, WIDTH)
+        used = (rows[:, 48:56] != -1.0)[:, None, :]
+        nlo = np.where(used, slot_lo, np.inf).min(axis=2)
+        nhi = np.where(used, slot_hi, -np.inf).max(axis=2)
+        ok = np.isfinite(nlo).all(axis=1, keepdims=True)
+        lo[is_node] = np.where(ok, nlo, 0.0)
+        hi[is_node] = np.where(ok, nhi, -1.0)
+    is_leaf = ~is_node
+    if is_leaf.any():
+        lrows = leaves[(-2 - roots[is_leaf]).astype(np.int64)]
+        data = lrows[:, 0:72].reshape(-1, 9, WIDTH)
+        v0 = data[:, 0:3]
+        pts = np.stack([v0, v0 + data[:, 3:6], v0 + data[:, 6:9]], axis=0)
+        occ = (lrows[:, 72:80] >= 0.0)[None, :, None, :]
+        occ = np.broadcast_to(occ, pts.shape)
+        llo = np.where(occ, pts, np.inf).min(axis=(0, 3))
+        lhi = np.where(occ, pts, -np.inf).max(axis=(0, 3))
+        ok = np.isfinite(llo).all(axis=1, keepdims=True)
+        lo[is_leaf] = np.where(ok, llo, 0.0)
+        hi[is_leaf] = np.where(ok, lhi, -1.0)
+    return lo, hi
+
+
 def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
                tri_verts: np.ndarray) -> WideBVH:
     """Rebuild wide rows for moved geometry without touching topology.
@@ -120,11 +198,15 @@ def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
     bounds = np.stack(
         [tri_verts.min(axis=(0, 1)), tri_verts.max(axis=(0, 1))]
     ).astype(np.float32)
+    t_lo, t_hi = _treelet_boxes(topo.treelet_roots, nodes, leaves)
     return WideBVH(
         nodes=jnp.asarray(nodes),
         leaves=jnp.asarray(leaves),
         bounds=jnp.asarray(bounds),
         depth_token=jnp.zeros((topo.n_levels,), jnp.uint8),
+        t_roots=jnp.asarray(topo.treelet_roots.astype(np.int32)),
+        t_lo=jnp.asarray(t_lo),
+        t_hi=jnp.asarray(t_hi),
         num_nodes=len(nodes),
         num_leaves=len(leaves),
         num_tris=len(tri_verts),
@@ -154,6 +236,11 @@ class WideBVH(NamedTuple):
     # occupancy is (WIDTH-1)*depth + 1 (each visit pops one entry and
     # pushes at most WIDTH children).
     depth_token: jnp.ndarray
+    # treelet schedule (accel/treelet.py): ptr-encoded subtree roots that
+    # tile the tree, plus their AABBs. K is shape-encoded (static).
+    t_roots: jnp.ndarray  # [K] i32
+    t_lo: jnp.ndarray  # [K, 3] f32
+    t_hi: jnp.ndarray  # [K, 3] f32
     num_nodes: int
     num_leaves: int
     num_tris: int
@@ -362,6 +449,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
         int_ids=int_ids, ptr=ptr, node_axis=node_axis,
         orig=orig, in_range=in_range,
         n_levels=max(len(all_rows), 1), leaf_cap=leaf_cap,
+        treelet_roots=plan_treelets(ptr),
     )
     wbvh = refit_wide(topo, b_min, b_max, tri_verts)
     return (wbvh, topo) if with_topology else wbvh

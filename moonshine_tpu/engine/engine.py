@@ -69,6 +69,9 @@ class Engine:
 
     def __init__(self, config: PathConfig | None = None):
         self._lock = threading.RLock()
+        # serializes frames while keeping _lock free during device work
+        self._render_lock = threading.Lock()
+        self._sensor_gen: dict = {}  # sensor -> generation (bumped on reset)
         self.world = World()
         self.images: list = []  # host images / constants, by handle
         self._materials: list[_EngineMaterial] = []
@@ -244,6 +247,7 @@ class Engine:
         """Restart accumulation (Sensor.clear, the GUI 'reset' button)."""
         with self._lock:
             self.sensors[handle] = self.sensors[handle].clear()
+            self._sensor_gen[handle] = self._sensor_gen.get(handle, 0) + 1
 
     def get_sensor_data(self, handle: int) -> np.ndarray:
         """[H, W, 4] float32 RGBA running mean (GetSensorData parity)."""
@@ -296,39 +300,55 @@ class Engine:
         immediately — XLA's async dispatch overlaps it with whatever the
         host does next (e.g. serving the previous frame); read results
         later with get_sensor_data."""
-        with self._lock:
-            scene = self._ensure_scene()
-            s = self.sensors[sensor]
-            lens_arrays = LensArrays.from_lens(self.lenses[lens])
+        # Frames serialize on a dedicated render lock, but the engine
+        # lock is held only to snapshot state and to commit results —
+        # picks / edits / status reads from other threads (the viewer's
+        # HTTP handlers) stay responsive during a multi-second device
+        # render. The reference holds its one mutex across the whole
+        # frame (hydra.zig:146) — affordable there because a frame is
+        # milliseconds; ours can be seconds.
+        with self._render_lock:
+            with self._lock:
+                scene = self._ensure_scene()
+                s = self.sensors[sensor]
+                gen = self._sensor_gen.get(sensor, 0)
+                lens_arrays = LensArrays.from_lens(self.lenses[lens])
+                cfg = self.config
             h, w = s.image.shape[:2]
             t0 = time.perf_counter()
             rays_parts = []
             for _ in range(spp):
                 img, rays = render_sample(
-                    scene, lens_arrays, h, w, s.sample_count, self.config,
+                    scene, lens_arrays, h, w, s.sample_count, cfg,
                     # hydra disables the y-flip (hydra.zig:95-105)
                     False,
                 )
                 s = accumulate(s, img, 1)
                 rays_parts.append(rays)
-            self.sensors[sensor] = s
             if not wait:
                 # no host sync at all — even reading the ray counter would
                 # block on the dispatched computation
-                self.metrics["renders"] += 1
-                self._pending_rays.extend(rays_parts)
+                with self._lock:
+                    if self._sensor_gen.get(sensor, 0) == gen:
+                        self.sensors[sensor] = s
+                        self._pending_rays.extend(rays_parts)
+                    self.metrics["renders"] += 1
                 return None
             rays_now = sum(float(r) for r in rays_parts)
-            rays_pending = sum(float(r) for r in self._pending_rays)
-            self._pending_rays.clear()
-            np.asarray(s.image)  # sync
+            np.asarray(s.image)  # sync — outside the engine lock
             dt = time.perf_counter() - t0
-            self.metrics["renders"] += 1
-            self.metrics["rays"] += rays_now + rays_pending
-            self.metrics["render_seconds"] += dt
-            self.metrics["last_frame_seconds"] = dt
-            self.metrics["last_mrays_per_sec"] = rays_now / dt / 1e6
-            return self.get_sensor_data(sensor)
+            with self._lock:
+                if self._sensor_gen.get(sensor, 0) == gen:
+                    # a reset_sensor during the render discards this frame
+                    self.sensors[sensor] = s
+                rays_pending = sum(float(r) for r in self._pending_rays)
+                self._pending_rays.clear()
+                self.metrics["renders"] += 1
+                self.metrics["rays"] += rays_now + rays_pending
+                self.metrics["render_seconds"] += dt
+                self.metrics["last_frame_seconds"] = dt
+                self.metrics["last_mrays_per_sec"] = rays_now / dt / 1e6
+        return self.get_sensor_data(sensor)
 
     # --- object picking (ObjectPicker.zig:89-128, input.hlsl) ---
 
@@ -373,3 +393,4 @@ class Engine:
                 image=jnp.asarray(data["image"]),
                 sample_count=jnp.asarray(int(data["sample_count"]), jnp.int32),
             )
+            self._sensor_gen[sensor] = self._sensor_gen.get(sensor, 0) + 1

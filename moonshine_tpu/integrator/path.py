@@ -21,11 +21,14 @@ planned optimization; semantics are already final).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from ..accel import packet, traverse
+import os
+
+from ..accel import packet, traverse, treelet
 from ..bsdf import materials as B
 from ..core import rng as R
 from ..core.frame import Frame, cos_theta
@@ -207,19 +210,45 @@ def _emissive_at(scene, shade_row, bary):
     return block[:, TX.EMISSIVE]
 
 
+# Treelet-scheduled traversal for HBM scenes (accel/treelet.py). Round-3
+# finding (BASELINE.md): measured 0.87-0.95x vs the monolithic kernel on
+# the room rungs — per-block visit counts show the monolithic kernel's
+# sorted block unions are already near-minimal, so subtree restriction
+# buys fewer visits per block but more blocks. Kept as an opt-in
+# experiment; default OFF.
+_USE_TREELETS = os.environ.get("MSN_TREELETS", "0") == "1"
+
+
+def _hbm_mode(wide) -> str:
+    """'vmem' | 'treelet' | 'hbm' | 'jnp' — static under jit."""
+    if wide is None:
+        return "jnp"
+    if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
+        return "vmem"
+    if not packet.stack_ok(wide, hbm=True):
+        return "jnp"
+    if _USE_TREELETS and treelet.available(wide):
+        return "treelet"
+    return "hbm"
+
+
 def _closest(scene, o, d, t_max, active, presorted: bool = False):
     """Traversal dispatch: VMEM packet kernel for small scenes, the
-    HBM-streaming packet kernel beyond the VMEM budget, and the jnp
-    while_loop fallback when no wide BVH exists. presorted=True (the
-    per-bounce state resort) skips the HBM wrappers' own sorting pass."""
+    treelet-scheduled kernel beyond the VMEM budget (monolithic
+    HBM-streaming kernel as fallback), and the jnp while_loop fallback
+    when no wide BVH exists. presorted=True (the per-bounce state resort)
+    skips the HBM wrappers' own sorting pass."""
     wide = getattr(scene, "wide", None)
-    if wide is not None:
-        if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
-            return packet.closest_hit_packet(wide, o, d, t_max, active_in=active)
-        if packet.stack_ok(wide, hbm=True):
-            return packet.closest_hit_packet_hbm(wide, o, d, t_max,
-                                                 active_in=active,
-                                                 sort=not presorted)
+    mode = _hbm_mode(wide)
+    if mode == "vmem":
+        return packet.closest_hit_packet(wide, o, d, t_max, active_in=active)
+    if mode == "treelet":
+        return treelet.closest_hit_treelet(wide, o, d, t_max,
+                                           active_in=active)
+    if mode == "hbm":
+        return packet.closest_hit_packet_hbm(wide, o, d, t_max,
+                                             active_in=active,
+                                             sort=not presorted)
     return traverse.closest_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
@@ -227,13 +256,15 @@ def _closest(scene, o, d, t_max, active, presorted: bool = False):
 
 def _any_hit(scene, o, d, t_max, active, presorted: bool = False):
     wide = getattr(scene, "wide", None)
-    if wide is not None:
-        if packet.fits_vmem(wide) and packet.stack_ok(wide, hbm=False):
-            return packet.any_hit_packet(wide, o, d, t_max, active_in=active)
-        if packet.stack_ok(wide, hbm=True):
-            return packet.any_hit_packet_hbm(wide, o, d, t_max,
-                                             active_in=active,
-                                             sort=not presorted)
+    mode = _hbm_mode(wide)
+    if mode == "vmem":
+        return packet.any_hit_packet(wide, o, d, t_max, active_in=active)
+    if mode == "treelet":
+        return treelet.any_hit_treelet(wide, o, d, t_max, active_in=active)
+    if mode == "hbm":
+        return packet.any_hit_packet_hbm(wide, o, d, t_max,
+                                         active_in=active,
+                                         sort=not presorted)
     return traverse.any_hit(
         scene.bvh, scene.tri_verts_sorted, o, d, t_max, active_in=active
     )
@@ -259,9 +290,9 @@ def _resolve_resort(scene, cfg: PathConfig, n_lanes: int) -> bool:
     # yet composed into the large unrolled graph XLA's schedule degrades
     # badly (memory-pressure rematerialization). Auto mode keeps the win
     # where it is measured and avoids the cliff; resort_bounces=True
-    # still forces it at any size.
-    return (wide is not None and not packet.fits_vmem(wide)
-            and n_lanes <= 600_000)
+    # still forces it at any size. Treelet-scheduled scenes re-sort
+    # internally every round, so the bounce-level resort adds nothing.
+    return _hbm_mode(wide) == "hbm" and n_lanes <= 600_000
 
 
 def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
@@ -518,6 +549,66 @@ def _resort_state(scene, st):
     return out
 
 
+def _init_state(ray_o, ray_d, rng_state):
+    N = ray_o.shape[0]
+    f32 = jnp.float32
+    return dict(
+        active=jnp.ones(N, bool),
+        o=ray_o,
+        d=ray_d,
+        throughput=jnp.ones((N, 3), f32),
+        radiance=jnp.zeros((N, 3), f32),
+        last_pdf=jnp.ones(N, f32),
+        last_delta=jnp.zeros(N, bool),
+        rng=rng_state,
+        rays=jnp.asarray(0.0, f32),
+        pix=jnp.arange(N, dtype=jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "resort", "last"),
+         donate_argnums=(1,))
+def _staged_bounce(scene, st, bounce, cfg: PathConfig, resort: bool,
+                   last: bool):
+    """One bounce as its own device dispatch with the lane state donated:
+    XLA's live set stays one segment deep no matter how many lanes, which
+    is what removes the >1M-lane scheduling cliff the fused graph hits
+    (see renderer.MAX_LANES). `bounce` is traced so all mid bounces share
+    one executable."""
+    if resort:
+        st = _resort_state(scene, st)
+    return _bounce_body(scene, cfg, bounce, st, last=last, resort=resort)
+
+
+@partial(jax.jit, static_argnames=("resort",))
+def _staged_finish(st, resort: bool):
+    radiance = st["radiance"]
+    if resort:
+        radiance = jnp.zeros_like(radiance).at[st["pix"]].set(radiance)
+    return radiance, st["rng"], st["rays"]
+
+
+def trace_paths_staged(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
+    """Host-orchestrated trace_paths for very large lane counts: one
+    donated dispatch per bounce instead of one fused graph. Semantics and
+    RNG consumption identical to the unrolled trace_paths — images match
+    bit-for-bit. The per-bounce coherence resort stays ON at any lane
+    count here (the fused path must disable it above 600k lanes)."""
+    wide = getattr(scene, "wide", None)
+    if cfg.resort_bounces is not None:
+        resort = cfg.resort_bounces
+    else:
+        resort = _hbm_mode(wide) == "hbm"
+    st = jax.jit(_init_state)(ray_o, ray_d, rng_state)
+    n_segments = cfg.max_bounces + 2
+    for b in range(n_segments):
+        st = _staged_bounce(
+            scene, st, jnp.asarray(b, jnp.int32), cfg,
+            resort=resort and b > 0, last=b == n_segments - 1,
+        )
+    return _staged_finish(st, resort=resort)
+
+
 def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
     """Estimate incoming radiance along N rays.
 
@@ -531,21 +622,7 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
     soon as every lane terminates.
     """
     N = ray_o.shape[0]
-    f32 = jnp.float32
-
-    st = dict(
-        active=jnp.ones(N, bool),
-        o=ray_o,
-        d=ray_d,
-        throughput=jnp.ones((N, 3), f32),
-        radiance=jnp.zeros((N, 3), f32),
-        last_pdf=jnp.ones(N, f32),
-        last_delta=jnp.zeros(N, bool),
-        rng=rng_state,
-        rays=jnp.asarray(0.0, f32),
-        pix=jnp.arange(N, dtype=jnp.int32),
-    )
-
+    st = _init_state(ray_o, ray_d, rng_state)
     n_segments = cfg.max_bounces + 2
     unroll = cfg.unroll if cfg.unroll is not None else n_segments <= 10
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng as R
-from ..integrator.path import PathConfig, trace_paths
+from ..integrator.path import PathConfig, trace_paths, trace_paths_staged
 from .camera import LensArrays, generate_rays, pixel_uv
 from .sensor import Sensor, accumulate
 
@@ -66,12 +66,14 @@ def _pixel_coords(height: int, width: int):
     return tiled(ys), tiled(xs), unpack
 
 
-# lanes per device dispatch. Past ~1M lanes the fused bounce graph's live
-# state (tens of arrays x lanes x unrolled segments) exceeds what XLA can
-# schedule without collapsing (measured >10x throughput cliff between 1M
-# and 2M lanes on the 184k room scene); large frames render as sequential
-# row bands of at most this many pixels. RNG is (sample, x, y)-keyed, so
-# banding is invisible in the image.
+# lanes per fused-graph dispatch. Past ~1M lanes the fused bounce graph's
+# live state (tens of arrays x lanes x unrolled segments) exceeds what XLA
+# can schedule without collapsing (measured >10x throughput cliff between
+# 1M and 2M lanes on the 184k room scene). Larger frames switch to the
+# STAGED path: one donated device dispatch per bounce
+# (path.trace_paths_staged), whose live set is one segment deep at any
+# lane count. RNG is (sample, x, y)-keyed, so the two paths produce
+# identical images.
 MAX_LANES = 512 * 1024
 
 
@@ -120,6 +122,45 @@ def _render_spp_band(scene, lens, height, width, y0, start_index, spp,
     return jax.lax.fori_loop(0, spp, body, init)
 
 
+@partial(jax.jit, static_argnames=("height", "width", "flip_image"))
+def _sample_rays(lens, height: int, width: int, sample_index,
+                 flip_image: bool):
+    """Camera rays + per-lane RNG for one sample (the raygen stage of the
+    staged path)."""
+    py, px, _ = _pixel_coords(height, width)
+    rng = R.seed(jnp.asarray(sample_index, jnp.uint32), px, py)
+    rng, jitter = R.next_float2(rng)
+    uv = pixel_uv(px, py, width, height, jitter, flip_image)
+    rng, ap = R.next_float2(rng)
+    o, d = generate_rays(lens, width, height, uv, ap)
+    return o, d, rng
+
+
+@partial(jax.jit, static_argnames=("height", "width"), donate_argnums=(0, 1))
+def _staged_accum(acc, rays_acc, radiance_flat, rays, height: int,
+                  width: int):
+    _, _, unpack = _pixel_coords(height, width)
+    return acc + unpack(radiance_flat), rays_acc + rays
+
+
+def _render_spp_staged(scene, lens, height, width, start_index, spp, cfg,
+                       flip_image):
+    """Large-frame path: host-orchestrated per-bounce dispatches (see
+    MAX_LANES). The whole frame is one lane batch — no banding — so the
+    per-bounce coherence resort stays on at 1080p and beyond."""
+    acc = jnp.zeros((height, width, 3), jnp.float32)
+    rays_acc = jnp.zeros((), jnp.float32)
+    start = int(start_index) if not hasattr(start_index, "shape") else start_index
+    for s in range(spp):
+        o, d, rng = _sample_rays(lens, height, width,
+                                 jnp.asarray(start, jnp.uint32) + jnp.uint32(s),
+                                 flip_image)
+        radiance, _, rays = trace_paths_staged(scene, o, d, rng, cfg)
+        acc, rays_acc = _staged_accum(acc, rays_acc, radiance, rays,
+                                      height, width)
+    return acc, rays_acc
+
+
 def render_spp(scene, lens: LensArrays, height: int, width: int,
                start_index, spp: int, cfg: PathConfig,
                flip_image: bool = True):
@@ -128,24 +169,14 @@ def render_spp(scene, lens: LensArrays, height: int, width: int,
     Images at or below MAX_LANES pixels run as ONE device dispatch
     (lax.fori_loop over render_sample — the analogue of the reference
     recording all spp trace calls into a single command buffer,
-    offline/main.zig:131-165). Larger frames run as sequential row-band
-    dispatches of <= MAX_LANES pixels each (one shared compilation; see
-    MAX_LANES). Returns (radiance_sum [H,W,3], rays)."""
+    offline/main.zig:131-165). Larger frames run through the staged
+    per-bounce path (see MAX_LANES) as one full-frame lane batch.
+    Returns (radiance_sum [H,W,3], rays)."""
     if height * width <= MAX_LANES:
         return _render_spp_band(scene, lens, height, width, 0, start_index,
                                 spp, cfg, flip_image, band_h=height)
-
-    band_h = max(TILE_H, MAX_LANES // width // TILE_H * TILE_H)
-    imgs = []
-    rays_total = jnp.zeros((), jnp.float32)
-    for y0 in range(0, height, band_h):
-        bh = min(band_h, height - y0)  # exact last band: rays stay honest
-        img, rays = _render_spp_band(scene, lens, height, width, y0,
-                                     start_index, spp, cfg, flip_image,
-                                     band_h=bh)
-        imgs.append(img)
-        rays_total = rays_total + rays
-    return jnp.concatenate(imgs, axis=0), rays_total
+    return _render_spp_staged(scene, lens, height, width, start_index,
+                              spp, cfg, flip_image)
 
 
 def render(scene, lens, height, width, spp, cfg: PathConfig,

@@ -127,5 +127,68 @@ class TestEngine:
         assert np.isfinite(img).all()
 
 
+class TestRenderConcurrency:
+    def test_pick_responsive_during_render(self, engine):
+        """The engine lock is released during device work (round-3 fix):
+        a pick from another thread must not wait for a long frame."""
+        import threading
+        import time as _time
+
+        sensor = engine.create_sensor(96, 96)
+        lens = engine.create_lens(front_lens())
+        engine.render(sensor, lens)  # warm the jit caches
+
+        started = threading.Event()
+        done = threading.Event()
+
+        def long_render():
+            started.set()
+            engine.render(sensor, lens, spp=6)
+            done.set()
+
+        t = threading.Thread(target=long_render)
+        t.start()
+        started.wait()
+        t0 = _time.perf_counter()
+        hit = engine.pick(lens, 96, 96, 48, 48)
+        pick_dt = _time.perf_counter() - t0
+        render_running = not done.is_set()
+        t.join()
+        assert hit.hit
+        # the pick must not have serialized behind the whole 6-spp frame
+        # (generous bounds: suite runs share one loaded CPU)
+        if render_running:
+            total = engine.metrics["last_frame_seconds"]
+            assert pick_dt < max(0.75 * total, 1.0)
+
+    def test_reset_during_render_discards_frame(self, engine):
+        """A reset_sensor racing a frame must win: the stale frame's
+        accumulation is dropped (generation check)."""
+        import threading
+
+        sensor = engine.create_sensor(32, 32)
+        lens = engine.create_lens(front_lens())
+        engine.render(sensor, lens)
+        ready = threading.Event()
+
+        orig_ensure = engine._ensure_scene
+
+        def slow_ensure():
+            scene = orig_ensure()
+            ready.set()
+            return scene
+
+        engine._ensure_scene = slow_ensure
+        t = threading.Thread(target=lambda: engine.render(sensor, lens))
+        t.start()
+        ready.wait()
+        engine.reset_sensor(sensor)
+        t.join()
+        engine._ensure_scene = orig_ensure
+        # frame raced the reset; whichever way the interleaving went, the
+        # sensor is either cleared (0) or holds at most the raced frame
+        assert engine.sample_count(sensor) <= 1
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
