@@ -99,13 +99,56 @@ def _slab_test(lo, hi, o, inv_d):
     return tnear, tfar
 
 
-def _moller_trumbore(v0, e1, e2, o, d, t_best):
-    """Scalar triangle vs vector rays. Returns (valid, t, u, v)."""
+def _moller_trumbore_anyhit(v0, e1, e2, o, d, t_max):
+    """Division-free occlusion test: scalar triangle vs vector rays.
+
+    Any-hit needs only the boolean, so the barycentric/t divisions of the
+    full Moller-Trumbore are replaced by sign-folded comparisons on the
+    numerators (u_n/v_n/t_n scaled by |det|) — VPU divides are the most
+    expensive ops in the leaf visit and shadow batches are ~40% of
+    traversal work. Same acceptance region as _moller_trumbore up to the
+    1e-12 det cutoff (exactly: u>=0, v>=0, u+v<=1, 0<t<t_max)."""
     px = d[1] * e2[2] - d[2] * e2[1]
     py = d[2] * e2[0] - d[0] * e2[2]
     pz = d[0] * e2[1] - d[1] * e2[0]
     det = e1[0] * px + e1[1] * py + e1[2] * pz
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    tx = o[0] - v0[0]
+    ty = o[1] - v0[1]
+    tz = o[2] - v0[2]
+    u_n = (tx * px + ty * py + tz * pz) * s
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v_n = (d[0] * qx + d[1] * qy + d[2] * qz) * s
+    t_n = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * s
+    det_a = det * s  # |det|
+    return (
+        (det_a > 1e-12)
+        & (u_n >= 0.0)
+        & (v_n >= 0.0)
+        & (u_n + v_n <= det_a)
+        & (t_n > 0.0)
+        & (t_n < t_max * det_a)
+    )
+
+
+def _moller_trumbore(v0, e1, e2, o, d, t_best, fast: bool = False):
+    """Scalar triangle vs vector rays. Returns (valid, t, u, v).
+
+    fast=True (compiled kernels only): the per-slot VPU divide becomes an
+    approximate reciprocal plus one Newton step (~2^-20 relative) — the
+    divide is the most expensive op in the 8-slot leaf visit."""
+    px = d[1] * e2[2] - d[2] * e2[1]
+    py = d[2] * e2[0] - d[0] * e2[2]
+    pz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    det_c = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    if fast:
+        inv_det = pl.reciprocal(det_c, approx=True)
+        inv_det = inv_det * (2.0 - det_c * inv_det)
+    else:
+        inv_det = 1.0 / det_c
     tx = o[0] - v0[0]
     ty = o[1] - v0[1]
     tz = o[2] - v0[2]
@@ -337,7 +380,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                     e2 = [lrow(48 + c * 8 + j) for c in range(3)]
                     tid = lrow(72 + j).astype(jnp.int32)
                     if any_hit:
-                        valid, t, u, v = _moller_trumbore(
+                        valid = _moller_trumbore_anyhit(
                             v0, e1, e2, o, d, tmax
                         )
                         occ = jnp.maximum(
@@ -346,7 +389,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                         )
                     else:
                         valid, t, u, v = _moller_trumbore(
-                            v0, e1, e2, o, d, t_best_l
+                            v0, e1, e2, o, d, t_best_l, fast=dma_rows
                         )
                         valid = valid & (tid >= 0)
                         t_best_l = jnp.where(valid, t, t_best_l)

@@ -267,7 +267,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, K: int,
                             e2 = [lrow(48 + c * 8 + j) for c in range(3)]
                             tid_f = lrow(72 + j).astype(jnp.int32)
                             if any_hit:
-                                valid, t, u, v = _moller_trumbore(
+                                valid = packet._moller_trumbore_anyhit(
                                     v0, e1, e2, o, d, tmax
                                 )
                                 occ = jnp.maximum(
@@ -278,7 +278,8 @@ def _make_kernel(any_hit: bool, dma_rows: bool, K: int,
                                 )
                             else:
                                 valid, t, u, v = _moller_trumbore(
-                                    v0, e1, e2, o, d, t_best_l
+                                    v0, e1, e2, o, d, t_best_l,
+                                    fast=dma_rows
                                 )
                                 valid = valid & (tid_f >= 0) & live
                                 t_best_l = jnp.where(valid, t, t_best_l)

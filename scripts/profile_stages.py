@@ -23,14 +23,14 @@ from moonshine_tpu.render.renderer import render_sample
 
 
 def timeit(name, fn, n=5):
-    out = fn()
-    jax.block_until_ready(out)
+    jax.block_until_ready(fn())
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
+        # block every call: with async dispatch, timing only the last
+        # wait has produced wildly under-read numbers on this tunnel
+        jax.block_until_ready(fn())
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:40s} {dt*1e3:9.2f} ms")
+    print(f"{name:40s} {dt*1e3:9.2f} ms", flush=True)
     return dt
 
 
