@@ -37,16 +37,23 @@ def _use_mm(table_rows: int) -> bool:
     return table_rows <= MM_MAX_ROWS and jax.default_backend() == "tpu"
 
 
-def _mm(table, make_selector_chunk, n):
+def _chunk_for(table_rows: int) -> int:
+    """Selector cost is O(N * round_up(T, chunk)): a 5-row material table
+    padded to the full 512 chunk pays 4x the compare/select VPU work of a
+    128-row pad. Chunk to the lane width (128) for small tables."""
+    return min(_CHUNK, -(-table_rows // 128) * 128)
+
+
+def _mm(table, make_selector_chunk, n, chunk):
     """Sum over T-chunks of make_selector_chunk(t0) @ table[t0:t0+chunk]."""
     T, C = table.shape
-    Tp = -(-T // _CHUNK) * _CHUNK
+    Tp = -(-T // chunk) * chunk
     # narrow-storage tables (bf16 atlas) widen on the fly for the matmul
     tab = jnp.pad(table.astype(jnp.float32), ((0, Tp - T), (0, 0)))
     out = jnp.zeros((n, C), jnp.float32)
-    for t0 in range(0, Tp, _CHUNK):
+    for t0 in range(0, Tp, chunk):
         sel = make_selector_chunk(t0)
-        out = out + jax.lax.dot(sel, tab[t0 : t0 + _CHUNK],
+        out = out + jax.lax.dot(sel, tab[t0 : t0 + chunk],
                                 precision="highest")
     return out
 
@@ -58,13 +65,14 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     if not _use_mm(T):
         return table[ids]
     ids = jnp.clip(ids, 0, T - 1)
+    chunk = _chunk_for(T)
     idf = ids.astype(jnp.float32)[:, None]  # exact: T <= 8192 < 2^24
-    cols = jnp.arange(_CHUNK, dtype=jnp.float32)[None, :]
+    cols = jnp.arange(chunk, dtype=jnp.float32)[None, :]
 
     def selector(t0):
         return (idf == cols + t0).astype(jnp.float32)
 
-    return _mm(table, selector, ids.shape[0])
+    return _mm(table, selector, ids.shape[0], chunk)
 
 
 def weighted_gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
@@ -82,15 +90,16 @@ def weighted_gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
             )
         return out
     ids = jnp.clip(ids, 0, T - 1)
+    chunk = _chunk_for(T)
     idf = ids.astype(jnp.float32)  # [N, K]
-    cols = jnp.arange(_CHUNK, dtype=jnp.float32)[None, :]
+    cols = jnp.arange(chunk, dtype=jnp.float32)[None, :]
 
     def selector(t0):
-        sel = jnp.zeros((ids.shape[0], _CHUNK), jnp.float32)
+        sel = jnp.zeros((ids.shape[0], chunk), jnp.float32)
         for k in range(K):
             sel = sel + jnp.where(
                 idf[:, k : k + 1] == cols + t0, weights[:, k : k + 1], 0.0
             )
         return sel
 
-    return _mm(table, selector, ids.shape[0])
+    return _mm(table, selector, ids.shape[0], chunk)

@@ -122,7 +122,7 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     Returns (position, uv, tri_frame, vtx_frame, mat_row, sampled) where
     mat_row is the packed material record.
     """
-    row = gather_rows(scene.tri_shade, tri)  # [N, 32]
+    row = gather_rows(scene.tri_shade, tri)  # [N, 48]
     n = tri.shape[0]
     corners = row[:, 0:9].reshape(n, 3, 3)
     nrms = row[:, 9:18].reshape(n, 3, 3)
@@ -142,7 +142,9 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     vtx_n = safe_normalize(_interp(bary_u, bary_v, nrms))
     vtx_frame = Frame(n=vtx_n, s=tri_frame.s, t=tri_frame.t).reorthogonalize()
 
-    mat_row = gather_rows(scene.materials.packed, mat_id)  # [N, 16]
+    # material row rides in the shading row (cols 32:48) — folding it at
+    # build time means no second gather (and no second one-hot selector)
+    mat_row = row[:, 32:48]
     return position, uv, tri_frame, vtx_frame, mat_row, sampled
 
 
@@ -193,20 +195,18 @@ def _texture_frame(normal_rg, vtx_frame):
     return Frame(n=n_ws, s=vtx_frame.s, t=vtx_frame.t).reorthogonalize()
 
 
-def _emissive_at(scene, shade_row, bary):
+def _emissive_at(scene, light_row, bary):
     """Emitted radiance of a light sample point, from its (already
-    gathered) packed shading row (NEE emissive lookup)."""
-    n = shade_row.shape[0]
-    uvs = shade_row[:, 18:24].reshape(n, 3, 2)
+    gathered) packed emitter row (EmitterTable.rows layout)."""
+    n = light_row.shape[0]
+    uvs = light_row[:, 9:15].reshape(n, 3, 2)
     uv = _interp(bary[..., 0], bary[..., 1], uvs)
-    mat_id = shade_row[:, 24].astype(jnp.int32)
-    mat_row = gather_rows(scene.materials.packed, mat_id)
     if scene.mat_atlas.emissive_constant:
-        return mat_row[:, 7:10]
+        return light_row[:, 15:18]
     # emissive lives in its own block (B): the NEE light-eval fetch never
     # touches the (possibly large) BSDF-map block
     block = sample_material_block(scene.mat_atlas.emissive,
-                                  mat_row[:, 12:16], uv)
+                                  light_row[:, 18:22], uv)
     return block[:, TX.EMISSIVE]
 
 

@@ -31,9 +31,11 @@ def sample_mesh_lights(scene, position_ws, rand2):
 
     scene: DeviceScene; position_ws: [N,3]; rand2: [N,2].
     Returns (dir_ws [N,3], light_pos [N,3], light_normal [N,3],
-             tri_id [N] i32, bary [N,2], pdf [N], shade_row [N,32]).
-    shade_row is the light triangle's packed shading row — callers reuse it
-    for the emissive lookup instead of re-gathering the same row.
+             tri_id [N] i32, bary [N,2], pdf [N], light_row [N,25]).
+    light_row is the drawn emitter's packed row (EmitterTable.rows
+    layout) — callers reuse it for the emissive lookup. Gathering from
+    the E-row emitter table instead of the T-row tri_shade table keeps
+    the one-hot selector tiny (E << T in real scenes).
     pdf == 0 when there are no emitters (light.hlsl:134-136).
     """
     em = scene.emitters
@@ -43,16 +45,15 @@ def sample_mesh_lights(scene, position_ws, rand2):
     has = em.count > 0
     count = jnp.maximum(em.count, 1)
     slot, rx = alias_table.sample(table, count, rand2[..., 0])
-    tri_id = gather_rows(
-        em.tri.astype(jnp.float32)[:, None],
-        jnp.clip(slot, 0, em.tri.shape[0] - 1),
-    )[..., 0].astype(jnp.int32)
+    light_row = gather_rows(
+        em.rows, jnp.clip(slot, 0, em.rows.shape[0] - 1)
+    )  # [N, 25]
+    tri_id = light_row[:, 22].astype(jnp.int32)
 
     bary = square_to_triangle(
         jnp.stack([rx, rand2[..., 1]], axis=-1)
     )
-    shade_row = gather_rows(scene.tri_shade, tri_id)  # [N, 32]
-    corners = shade_row[:, 0:9].reshape(-1, 3, 3)
+    corners = light_row[:, 0:9].reshape(-1, 3, 3)
     b0 = (1.0 - bary[..., 0] - bary[..., 1])[..., None]
     b1 = bary[..., 0][..., None]
     b2 = bary[..., 1][..., None]
@@ -67,4 +68,4 @@ def sample_mesh_lights(scene, position_ws, rand2):
         em.weight_sum, 1e-20
     )
     pdf = jnp.where(has, pdf, 0.0)
-    return dir_ws, light_pos, gn, tri_id, bary, pdf, shade_row
+    return dir_ws, light_pos, gn, tri_id, bary, pdf, light_row

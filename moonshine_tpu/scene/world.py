@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..accel import lbvh, wide as wide_bvh
@@ -80,11 +81,20 @@ class MaterialTable(NamedTuple):
 
 class EmitterTable(NamedTuple):
     """Alias table over world-space triangle areas of sampled geometries
-    (Accel.zig:491-539)."""
+    (Accel.zig:491-539).
+
+    `rows` packs everything the NEE light path reads per drawn emitter —
+    corners, uvs, emissive (constant value or atlas rect), original tri
+    id — so light sampling gathers from this E-row table instead of the
+    T-row tri_shade table (E is usually orders of magnitude smaller, and
+    the one-hot selector cost scales with the table's padded size)."""
 
     select: jnp.ndarray  # [E] f32
     alias: jnp.ndarray  # [E] u32
     tri: jnp.ndarray  # [E] i32 original triangle ids
+    # [E, 25]: 0:9 corners | 9:15 uvs | 15:18 emissive const |
+    # 18:22 emissive atlas rect | 22 original tri id | 23:25 pad
+    rows: jnp.ndarray
     count: jnp.ndarray  # scalar i32
     weight_sum: jnp.ndarray  # scalar f32 (total emissive area)
 
@@ -97,8 +107,10 @@ class DeviceScene(NamedTuple):
     # one packed row per triangle so a hit decodes with a single gather:
     # 0-8 corner positions, 9-17 corner normals (world, inverse-transpose),
     # 18-23 corner uvs, 24 material id, 25 sampled flag, 26 instance id,
-    # 27 geometry id, 28 primitive id (ids f32-exact below 2^24)
-    tri_shade: jnp.ndarray  # [T, 32] f32
+    # 27 geometry id, 28 primitive id (ids f32-exact below 2^24),
+    # 32-47 the triangle's MaterialTable row (folded so geometry and
+    # material decode share one gather/selector)
+    tri_shade: jnp.ndarray  # [T, 48] f32
     materials: MaterialTable
     mat_atlas: MaterialAtlas
     env: EnvMap
@@ -161,6 +173,8 @@ class World:
         self._env_cache: dict = {}
         self._scene: Optional[DeviceScene] = None
         self._cache: Optional[_FlattenCache] = None
+        self._mat_packed_host: Optional[np.ndarray] = None
+        self._emitter_host: Optional[tuple] = None
         self._builder: Optional[str] = None
         self._dirty_topology = True
         self._dirty_transforms = False
@@ -255,11 +269,23 @@ class World:
                 scene = self._refit(scene)
                 self._dirty_transforms = False
             if self._dirty_materials:
-                mat_table, mat_atlas = _build_materials(
+                mat_table, mat_atlas, packed_np = _build_materials(
                     self.materials, MaterialBlockBuilder()
                 )
-                scene = scene._replace(materials=mat_table,
-                                       mat_atlas=mat_atlas)
+                self._mat_packed_host = packed_np
+                emitters = scene.emitters
+                if self._emitter_host is not None:
+                    tv, tuv, tmids, etris = self._emitter_host
+                    if len(etris):
+                        emitters = emitters._replace(rows=jnp.asarray(
+                            _emitter_rows(tv, tuv, tmids, packed_np, etris)))
+                scene = scene._replace(
+                    materials=mat_table,
+                    mat_atlas=mat_atlas,
+                    emitters=emitters,
+                    tri_shade=_refold_tri_mat(scene.tri_shade,
+                                              mat_table.packed),
+                )
                 self._dirty_materials = False
             if self._dirty_env:
                 scene = scene._replace(env=self._build_env())
@@ -283,9 +309,10 @@ class World:
         return self._env_cache[h]
 
     def _full_build(self, builder: str) -> DeviceScene:
-        mat_table, mat_atlas = _build_materials(
+        mat_table, mat_atlas, packed_np = _build_materials(
             self.materials, MaterialBlockBuilder()
         )
+        self._mat_packed_host = packed_np
 
         cache = _flatten_object(self.meshes, self.instances)
         if cache is None:
@@ -324,7 +351,12 @@ class World:
         inv_order[order] = np.arange(T)
 
         emitter_tris = np.nonzero(sampled)[0]
-        emitters = _build_emitters(verts, emitter_tris)
+        emitters = _build_emitters(verts, emitter_tris, uvs, mat_ids,
+                                   packed_np)
+        # kept for material edits (re-pack emitter rows without a rebuild)
+        self._emitter_host = (verts[emitter_tris], uvs[emitter_tris],
+                              np.asarray(mat_ids)[emitter_tris],
+                              emitter_tris)
 
         if cache is not None:
             cache.bvh_host = bvh
@@ -335,7 +367,7 @@ class World:
 
         tri_shade = _pack_tri_shade(
             verts, normals, uvs, mat_ids, sampled, inst_ids, geo_ids,
-            prim_ids,
+            prim_ids, packed_np,
         )
 
         return DeviceScene(
@@ -372,10 +404,14 @@ class World:
 
         tri_shade = _pack_tri_shade(
             verts, normals, uvs, c.mat_ids, c.sampled, c.inst_ids,
-            c.geo_ids, c.prim_ids,
+            c.geo_ids, c.prim_ids, self._mat_packed_host,
         )
         order = np.asarray(b.tri_order)
-        emitters = _build_emitters(verts, c.emitter_tris)
+        emitters = _build_emitters(verts, c.emitter_tris, uvs, c.mat_ids,
+                                   self._mat_packed_host)
+        self._emitter_host = (verts[c.emitter_tris], uvs[c.emitter_tris],
+                              np.asarray(c.mat_ids)[c.emitter_tris],
+                              c.emitter_tris)
 
         return scene._replace(
             bvh=bvh_dev,
@@ -387,9 +423,9 @@ class World:
 
 
 def _pack_tri_shade(verts, normals, uvs, mat_ids, sampled, inst_ids,
-                    geo_ids, prim_ids) -> np.ndarray:
+                    geo_ids, prim_ids, mat_packed) -> np.ndarray:
     T = len(verts)
-    tri_shade = np.zeros((T, 32), np.float32)
+    tri_shade = np.zeros((T, 48), np.float32)
     tri_shade[:, 0:9] = verts.reshape(T, 9)
     tri_shade[:, 9:18] = normals.reshape(T, 9)
     tri_shade[:, 18:24] = uvs.reshape(T, 6)
@@ -398,7 +434,24 @@ def _pack_tri_shade(verts, normals, uvs, mat_ids, sampled, inst_ids,
     tri_shade[:, 26] = inst_ids
     tri_shade[:, 27] = geo_ids
     tri_shade[:, 28] = prim_ids
+    # 32:48 — the triangle's material row, folded in so a hit decodes
+    # geometry AND material with ONE gather (the MXU one-hot selector is
+    # the dominant per-gather cost at renderer lane counts; a second
+    # gather over the material table would pay a whole extra selector)
+    tri_shade[:, 32:48] = mat_packed[
+        np.clip(mat_ids, 0, len(mat_packed) - 1)
+    ]
     return tri_shade
+
+
+@jax.jit
+def _refold_tri_mat(tri_shade, packed):
+    """Material-edit refold: rewrite the folded material columns from the
+    new packed table (one jitted device dispatch; eager ops over the
+    device tunnel are ~0.3 s round trips each)."""
+    ids = jnp.clip(tri_shade[:, 24].astype(jnp.int32), 0,
+                   packed.shape[0] - 1)
+    return tri_shade.at[:, 32:48].set(packed[ids])
 
 
 def _build_materials(materials, builder: MaterialBlockBuilder) -> MaterialTable:
@@ -449,7 +502,7 @@ def _build_materials(materials, builder: MaterialBlockBuilder) -> MaterialTable:
         packed[:, 7:10] = constants[:, 5:8]  # emissive
     else:
         packed[:, 12:16] = rects[:, 1]  # emissive block rect
-    return MaterialTable(packed=jnp.asarray(packed)), atlas
+    return MaterialTable(packed=jnp.asarray(packed)), atlas, packed
 
 
 def _flatten_object(meshes, instances) -> Optional[_FlattenCache]:
@@ -557,7 +610,21 @@ def _world_transform(cache: _FlattenCache, instances):
     return verts, normals, uvs
 
 
-def _build_emitters(verts, emitter_tris) -> EmitterTable:
+def _emitter_rows(tv, tuv, tmids, mat_packed, emitter_tris) -> np.ndarray:
+    """Pack the per-emitter light rows (EmitterTable.rows layout)."""
+    E = len(emitter_tris)
+    rows = np.zeros((E, 25), np.float32)
+    rows[:, 0:9] = tv.reshape(E, 9)
+    rows[:, 9:15] = tuv.reshape(E, 6)
+    mrow = mat_packed[np.clip(tmids, 0, len(mat_packed) - 1)]
+    rows[:, 15:18] = mrow[:, 7:10]  # constant-plane emissive value
+    rows[:, 18:22] = mrow[:, 12:16]  # textured emissive block rect
+    rows[:, 22] = emitter_tris
+    return rows
+
+
+def _build_emitters(verts, emitter_tris, uvs, mat_ids,
+                    mat_packed) -> EmitterTable:
     """Alias table over world-space areas of the (fixed) sampled-tri set.
     Hidden emitters have zero area and zero selection weight; when every
     emitter is hidden, count drops to 0 so NEE skips mesh lights — the
@@ -567,6 +634,7 @@ def _build_emitters(verts, emitter_tris) -> EmitterTable:
             select=jnp.ones(1, jnp.float32),
             alias=jnp.zeros(1, jnp.uint32),
             tri=jnp.zeros(1, jnp.int32),
+            rows=jnp.zeros((1, 25), jnp.float32),
             count=jnp.asarray(0, jnp.int32),
             weight_sum=jnp.asarray(0.0, jnp.float32),
         )
@@ -576,10 +644,13 @@ def _build_emitters(verts, emitter_tris) -> EmitterTable:
     )
     table = alias_table.build(areas)
     count = int(table.count) if float(table.weight_sum) > 0.0 else 0
+    rows = _emitter_rows(tv, uvs[emitter_tris], mat_ids[emitter_tris],
+                         mat_packed, emitter_tris)
     return EmitterTable(
         select=table.select,
         alias=table.alias,
         tri=jnp.asarray(emitter_tris, jnp.int32),
+        rows=jnp.asarray(rows),
         count=jnp.asarray(count, jnp.int32),
         weight_sum=jnp.asarray(table.weight_sum, jnp.float32),
     )

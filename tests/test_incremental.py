@@ -119,9 +119,17 @@ class TestIncrementalBuild:
         s2 = w.build()
         assert s2.bvh is s1.bvh
         assert s2.wide is s1.wide
-        assert s2.tri_shade is s1.tri_shade
         assert s2.env is s1.env
         assert s2.materials.packed is not s1.materials.packed
+        # tri_shade is refolded (material cols 32:48 ride in it), but the
+        # geometry columns must be untouched — no geometry rebuild
+        np.testing.assert_array_equal(np.asarray(s2.tri_shade[:, :32]),
+                                      np.asarray(s1.tri_shade[:, :32]))
+        np.testing.assert_array_equal(
+            np.asarray(s2.tri_shade[:, 32:]),
+            np.asarray(s2.materials.packed)[
+                np.asarray(s1.tri_shade[:, 24], np.int32)],
+        )
 
     def test_background_edit_rebuilds_only_env(self):
         w, a, b = two_sphere_world()
