@@ -7,8 +7,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include <pxr/base/vt/value.h>
 #include <pxr/imaging/hd/instancer.h>
-#include <pxr/imaging/hd/vt/value.h>
 
 #include "hydra_core.hpp"
 

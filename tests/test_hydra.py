@@ -50,19 +50,19 @@ class TestHydraSources:
                      "mesh", "material", "instancer", "camera",
                      "rendererPlugin"]:
             assert (HYDRA / f"{name}.cpp").exists(), name
-            if name != "rendererPlugin":
-                pass
         assert (HYDRA / "plugInfo.json").exists()
         assert (HYDRA / "blender.py").exists()
 
-    def test_usd_adapters_define_expected_classes(self):
-        """Spot-check the adapter surface matches the delegate contract."""
-        delegate = (HYDRA / "renderDelegate.cpp").read_text()
-        assert "rebuildPipeline" in delegate  # custom command parity
-        assert "HdPrimTypeTokens->mesh" in delegate
-        assert "HdPrimTypeTokens->renderBuffer" in delegate
-        mesh = (HYDRA / "mesh.cpp").read_text()
-        assert "GetExtComputationPrimvarDescriptors" in mesh  # skinning
-        assert "msnh::Triangulate" in mesh
-        material = (HYDRA / "material.cpp").read_text()
-        assert "UsdPreviewSurface" in material
+    def test_usd_adapters_compile_against_stub_api(self):
+        """Every USD adapter TU goes through g++ against the vendored
+        pxr API-surface stubs (native/usd_stub/) — wrong override
+        signatures, misspelled members, or bad include paths fail here
+        like they would against a real USD install. (No USD distribution
+        exists in this environment and there is no network egress, so
+        the real `make hydra` link target cannot run; this is the
+        closest reachable compile check.)"""
+        subprocess.run(["make", "-C", str(NATIVE), "clean-stubcheck"],
+                       capture_output=True, text=True)
+        r = subprocess.run(["make", "-C", str(NATIVE), "hydra-syntax"],
+                           capture_output=True, text=True, timeout=280)
+        assert r.returncode == 0, (r.stdout[-400:], r.stderr[-1200:])
