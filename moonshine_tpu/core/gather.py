@@ -75,6 +75,54 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return _mm(table, selector, ids.shape[0], chunk)
 
 
+def shift_gather_rows(table: jnp.ndarray, base: jnp.ndarray, shifts,
+                      weights: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
+    """Fused K-tap filtered gather where every tap is a fixed row shift of
+    one base id: out = sum_k weights[:, k] * table[base + shifts[k]].
+
+    This is the fast path for bilinear texture filters over wrap-border-
+    padded atlases (textures.py): the 4 taps of a bilinear fetch are
+    (+0, +1, +stride, +stride+1) of the top-left texel, so ONE one-hot
+    selector — built as bf16, which represents 0/1 exactly — contracts
+    against a channel-concatenation of 4 shifted table slices in a single
+    DEFAULT-precision matmul per chunk, and the filter weights apply
+    per-lane afterwards. Measured 9x faster than the 4-hot selector +
+    HIGHEST matmul formulation at 262k lanes on a 128-row bf16 table
+    (scripts/profile_gather2.py), and exact vs the reference sum for
+    bf16 tables.
+
+    Requirements: `table` rows beyond `n_chunks * 128` are tail padding of
+    at least max(shifts) + 128 rows (so the shifted chunk slices never
+    clamp), and every `base + shift` lands inside the padded region.
+    `shifts` entries may be traced scalars (e.g. a runtime row stride).
+    """
+    K = weights.shape[1]
+    if not _use_mm(n_chunks * 128):
+        out = 0.0
+        for k in range(K):
+            rows = table[base + shifts[k]].astype(jnp.float32)
+            out = out + weights[:, k:k + 1] * rows
+        return out
+    C = table.shape[1]
+    chunk = 128
+    basef = base.astype(jnp.float32)[:, None]  # exact below 2^24
+    cols = jnp.arange(chunk, dtype=jnp.float32)[None, :]
+    tab = table.astype(jnp.bfloat16)
+    out = jnp.zeros((base.shape[0], K * C), jnp.float32)
+    for i in range(n_chunks):
+        t0 = i * chunk
+        sel = (basef == cols + t0).astype(jnp.bfloat16)
+        cat = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(tab, t0 + shifts[k], chunk)
+             for k in range(K)], axis=1)
+        out = out + jax.lax.dot(sel, cat,
+                                preferred_element_type=jnp.float32)
+    acc = jnp.zeros((base.shape[0], C), jnp.float32)
+    for k in range(K):
+        acc = acc + weights[:, k:k + 1] * out[:, k * C:(k + 1) * C]
+    return acc
+
+
 def weighted_gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
                          weights: jnp.ndarray) -> jnp.ndarray:
     """Fused K-tap filtered gather: table [T, C], ids [N, K] int,

@@ -34,7 +34,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.gather import weighted_gather_rows
+from ..core.gather import shift_gather_rows
 
 BLOCK_CHANNELS = 8
 # block A channels
@@ -47,8 +47,12 @@ EMISSIVE = slice(0, 3)
 
 
 class AtlasPlane(NamedTuple):
-    data: jnp.ndarray  # [H*W, 8] bf16 flat rows
+    data: jnp.ndarray  # [H*W + tail, 8] bf16 flat rows (see chunks_token)
     width: jnp.ndarray  # scalar i32 row stride
+    # shape-encoded chunk count for the shared-selector shift gather:
+    # ceil(H*W / 128) zeros. data carries >= width + 1 + 128 tail-padding
+    # rows past H*W so the gather's shifted chunk slices never clamp.
+    chunks_token: jnp.ndarray
 
 
 class MaterialAtlas(NamedTuple):
@@ -126,10 +130,16 @@ def _pack_block(imgs) -> np.ndarray:
 
 
 def _pack_plane(blocks) -> tuple[AtlasPlane, np.ndarray]:
-    """Shelf-pack blocks into one plane; returns (plane, rects [n,4])."""
-    max_w = max(b.shape[1] for b in blocks)
+    """Shelf-pack blocks into one plane; returns (plane, rects [n,4]).
+
+    Each block is stored with a one-texel wrap border on its right/bottom
+    edges (row h = row 0, col w = col 0), so a bilinear fetch's four taps
+    are always the fixed row shifts (+0, +1, +stride, +stride+1) of the
+    top-left tap — the precondition for gather.shift_gather_rows' shared
+    one-hot selector. rects stay logical (x, y, w, h)."""
+    max_w = max(b.shape[1] for b in blocks) + 1
     atlas_w = max(_next_pow2(max_w), 16)
-    total = sum(b.shape[0] * b.shape[1] for b in blocks)
+    total = sum((b.shape[0] + 1) * (b.shape[1] + 1) for b in blocks)
     while atlas_w * atlas_w < total * 1.4 and atlas_w < 16384:
         atlas_w *= 2
 
@@ -138,21 +148,30 @@ def _pack_plane(blocks) -> tuple[AtlasPlane, np.ndarray]:
     shelf_x = shelf_y = shelf_h = 0
     for i in order:
         h, w, _ = blocks[i].shape
-        if shelf_x + w > atlas_w:
+        if shelf_x + w + 1 > atlas_w:
             shelf_y += shelf_h
             shelf_x, shelf_h = 0, 0
         rects[i] = (shelf_x, shelf_y, w, h)
-        shelf_x += w
-        shelf_h = max(shelf_h, h)
+        shelf_x += w + 1
+        shelf_h = max(shelf_h, h + 1)
     atlas_h = _next_pow2(shelf_y + shelf_h)
 
     data = np.zeros((atlas_h, atlas_w, BLOCK_CHANNELS), np.float32)
     for i, b in enumerate(blocks):
         x, y, w, h = rects[i]
         data[y : y + h, x : x + w] = b
+        data[y + h, x : x + w] = b[0]  # bottom wrap border
+        data[y : y + h, x + w] = b[:, 0]  # right wrap border
+        data[y + h, x + w] = b[0, 0]
+    flat = data.reshape(-1, BLOCK_CHANNELS)
+    rows = len(flat)
+    tail = atlas_w + 1 + 128
+    flat = np.concatenate(
+        [flat, np.zeros((tail, BLOCK_CHANNELS), np.float32)])
     plane = AtlasPlane(
-        data=jnp.asarray(data.reshape(-1, BLOCK_CHANNELS), jnp.bfloat16),
+        data=jnp.asarray(flat, jnp.bfloat16),
         width=jnp.asarray(atlas_w, jnp.int32),
+        chunks_token=jnp.zeros((-(-rows // 128),), jnp.uint8),
     )
     return plane, rects
 
@@ -221,6 +240,12 @@ def sample_material_block(plane: AtlasPlane, rect: jnp.ndarray,
     """Bilinear repeat-wrap fetch of full material blocks from one plane.
 
     rect: [N, 4] float or int (x, y, w, h); uv: [N, 2] -> [N, 8] f32.
+
+    Blocks carry wrap borders (_pack_plane), so only the top-left tap
+    wraps; the other three taps are the fixed shifts (+1, +stride,
+    +stride+1) and the whole filter runs as a shared-selector shift
+    gather (gather.shift_gather_rows — one bf16 one-hot selector, one
+    matmul per 128-row chunk).
     """
     x0 = rect[..., 0].astype(jnp.int32)
     y0 = rect[..., 1].astype(jnp.int32)
@@ -231,26 +256,20 @@ def sample_material_block(plane: AtlasPlane, rect: jnp.ndarray,
     v = uv[..., 1] * th - 0.5
     iu = jnp.floor(u)
     iv = jnp.floor(v)
-    fu = (u - iu)[..., None]
-    fv = (v - iv)[..., None]
+    fu1 = u - iu
+    fv1 = v - iv
 
     wrap = lambda i, n: jnp.mod(i.astype(jnp.int32), n.astype(jnp.int32))
     iu0 = wrap(iu, tw)
-    iu1 = wrap(iu + 1, tw)
     iv0 = wrap(iv, th)
-    iv1 = wrap(iv + 1, th)
 
     stride = plane.width
-    idx = lambda ix, iy: (y0 + iy) * stride + (x0 + ix)
-    fu1 = fu[..., 0]
-    fv1 = fv[..., 0]
-    ids = jnp.stack(
-        [idx(iu0, iv0), idx(iu1, iv0), idx(iu0, iv1), idx(iu1, iv1)], axis=-1
-    )
+    base = (y0 + iv0) * stride + (x0 + iu0)
     weights = jnp.stack(
         [(1 - fu1) * (1 - fv1), fu1 * (1 - fv1), (1 - fu1) * fv1, fu1 * fv1],
         axis=-1,
     )
-    # the whole bilinear filter as one fused 4-tap MXU gather; bf16 rows
-    # come back as f32 accumulations
-    return weighted_gather_rows(plane.data, ids, weights).astype(jnp.float32)
+    return shift_gather_rows(
+        plane.data, base, (0, 1, stride, stride + 1), weights,
+        n_chunks=plane.chunks_token.shape[0],
+    ).astype(jnp.float32)
