@@ -33,6 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.sortutil import sort_lanes
 from .traverse import Hit
 from .wide import WideBVH, WIDTH
 
@@ -449,7 +450,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
     return kernel
 
 
-def _sort_perm(wbvh: WideBVH, ray_o, ray_d, active=None):
+def _sort_key(wbvh: WideBVH, ray_o, ray_d, active=None):
     """Coherence key: 4^3 origin cells x 8 direction octants; dead lanes
     sort to the end. Sorting rays before packet traversal makes each block's
     node working set tight, and — since inactive lanes carry tmax<0 and a
@@ -467,26 +468,32 @@ def _sort_perm(wbvh: WideBVH, ray_o, ray_d, active=None):
     key = ((cell[:, 0] * 4 + cell[:, 1]) * 4 + cell[:, 2]) * 8 + octant
     if active is not None:
         key = jnp.where(active, key, jnp.int32(1 << 20))
-    perm = jnp.argsort(key)
-    inv = jnp.argsort(perm)
-    return perm, inv
+    return key
 
 
 def _sorted_dispatch(impl, wbvh, ray_o, ray_d, t_max, active_in, interpret,
                      hbm):
-    """Run a traversal impl on compaction-sorted rays, unsorting results."""
-    perm, inv = _sort_perm(wbvh, ray_o, ray_d, active_in)
-    active_p = None if active_in is None else active_in[perm]
-    t_max_p = (
-        t_max if jnp.ndim(t_max) == 0
-        else jnp.asarray(t_max, jnp.float32)[perm]
-    )
-    out = impl(wbvh, ray_o[perm], ray_d[perm], t_max_p, active_p,
-               interpret, hbm)
+    """Run a traversal impl on compaction-sorted rays, unsorting results.
+
+    Both the forward reorder and the inverse are single multi-operand
+    lax.sorts (core/sortutil.py): the inactive flag folds into tmax<0
+    before the sort so only 8 payloads ride forward, and a lane-index
+    iota rides along to key the inverse sort of the outputs."""
+    N = ray_o.shape[0]
+    key = _sort_key(wbvh, ray_o, ray_d, active_in)
+    t_eff = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    if active_in is not None:
+        t_eff = jnp.where(active_in, t_eff, _NEG)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    _, (iota_s, o_s, d_s, t_s) = sort_lanes(
+        key, [iota, ray_o, ray_d, t_eff])
+    out = impl(wbvh, o_s, d_s, t_s, None, interpret, hbm)
     if isinstance(out, Hit):
-        return Hit(t=out.t[inv], tri=out.tri[inv], u=out.u[inv],
-                   v=out.v[inv])
-    return out[inv]
+        _, (t, tri, u, v) = sort_lanes(
+            iota_s, [out.t, out.tri, out.u, out.v])
+        return Hit(t=t, tri=tri, u=u, v=v)
+    _, (occ,) = sort_lanes(iota_s, [out])
+    return occ
 
 
 def _use_interpret():

@@ -33,6 +33,7 @@ from ..bsdf import materials as B
 from ..core import rng as R
 from ..core.frame import Frame, cos_theta
 from ..core.gather import gather_rows
+from ..core.sortutil import sort_lanes
 from ..core.mathutil import (
     INF_T,
     dot,
@@ -524,10 +525,12 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
 
 def _resort_state(scene, st):
     """Reorder the whole lane state by ray coherence (8^3 origin cells x
-    direction octant; dead lanes to the tail). One argsort + 9 shared-perm
-    gathers, measured ~0.2 ms at 262k lanes. Lanes keep their RNG streams
-    and pixel ids, so images are bit-identical; trace_paths scatters
-    radiance back to pixel order at the end."""
+    direction octant; dead lanes to the tail) as ONE multi-operand
+    lax.sort over all 17 state columns (core/sortutil.py — the earlier
+    argsort + shared-perm gathers paid ~3 ms per gathered array on TPU).
+    Lanes keep their RNG streams and pixel ids, so images are
+    bit-identical; trace_paths scatters radiance back to pixel order at
+    the end."""
     wide = getattr(scene, "wide", None)
     if wide is None:
         return st
@@ -542,10 +545,10 @@ def _resort_state(scene, st):
     )
     key = ((cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]) * 8 + octant
     key = jnp.where(active, key, jnp.int32(1 << 20))
-    perm = jnp.argsort(key)
-    out = {}
-    for k, v in st.items():
-        out[k] = v if jnp.ndim(v) == 0 else v[perm]
+    names = [k for k, v in st.items() if jnp.ndim(v) > 0]
+    _, sorted_arrays = sort_lanes(key, [st[k] for k in names])
+    out = dict(st)
+    out.update(zip(names, sorted_arrays))
     return out
 
 

@@ -140,6 +140,14 @@ def sample_envmap(env: EnvMap, rand2: jnp.ndarray):
     the wavefront design batches shadow rays separately).
     """
     S = env.size
+    if S == 1:
+        # constant env (static property): the alias draw is the identity
+        # (texel 0, residual rand unchanged) and the pdf is uniform —
+        # skip both row gathers; the direction mapping still runs.
+        n = rand2.shape[0]
+        radiance = jnp.broadcast_to(env.rgbl[0, :3], (n, 3))
+        pdf = jnp.full((n,), 1.0 / (4.0 * PI), jnp.float32)
+        return square_to_equal_area_sphere(rand2), radiance, pdf
     table = alias_table.AliasTable(
         select=env.select, alias=env.alias, weight_sum=0.0, count=0
     )
@@ -164,6 +172,10 @@ def sample_envmap(env: EnvMap, rand2: jnp.ndarray):
 def eval_envmap(env: EnvMap, dir_ws: jnp.ndarray):
     """(radiance [N,3], pdf [N]) of a given direction (light.hlsl:83-97)."""
     S = env.size
+    if S == 1:
+        n = dir_ws.shape[0]
+        return (jnp.broadcast_to(env.rgbl[0, :3], (n, 3)),
+                jnp.full((n,), 1.0 / (4.0 * PI), jnp.float32))
     uv = square_to_equal_area_sphere_inverse(dir_ws)
     idx = jnp.clip((uv * S).astype(jnp.int32), 0, S - 1)
     row = gather_rows(env.rgbl, idx[..., 0] * S + idx[..., 1])
@@ -175,6 +187,10 @@ def miss_radiance_and_pdf(env: EnvMap, dir_ws: jnp.ndarray):
     """Fused miss-path query: bilinear incoming radiance + texel pdf with a
     single equal-area inverse (the integrator needs both every bounce)."""
     S = env.size
+    if S == 1:
+        n = dir_ws.shape[0]
+        rad = jnp.broadcast_to(env.rgbl[0, :3], (n, 3))
+        return rad, rad, jnp.full((n,), 1.0 / (4.0 * PI), jnp.float32)
     uv = square_to_equal_area_sphere_inverse(dir_ws)
     x = uv[..., 0] * S - 0.5
     y = uv[..., 1] * S - 0.5
@@ -212,6 +228,8 @@ def _bilinear_taps(env: EnvMap, xi0, xi1, yi0, yi1, fx, fy):
 def envmap_incoming_radiance(env: EnvMap, dir_ws: jnp.ndarray):
     """Bilinear-filtered miss radiance (light.hlsl:99-102)."""
     S = env.size
+    if S == 1:
+        return jnp.broadcast_to(env.rgbl[0, :3], (dir_ws.shape[0], 3))
     uv = square_to_equal_area_sphere_inverse(dir_ws)
     x = uv[..., 0] * S - 0.5
     y = uv[..., 1] * S - 0.5
