@@ -309,6 +309,49 @@ def pdf_bsdf(mat: MaterialLanes, w_i, w_o):
     )
 
 
+def eval_pdf_bsdf(mat: MaterialLanes, w_i, w_o):
+    """Fused eval_bsdf + pdf_bsdf: the NEE weighting needs both values for
+    every shadow sample (estimateDirectMISLight, integrator.hlsl:20-35
+    calls eval and pdf back-to-back); computing them together shares the
+    GGX half-vector, D term, Lambert pdf, and hemisphere tests. Returns
+    (f [N,3], pdf [N]) — delta materials contribute f like eval_bsdf and
+    pdf 0 like pdf_bsdf.
+    """
+    h = safe_normalize(w_i + w_o)
+    same_h = same_hemisphere(w_o, w_i)
+    d_ggx = ggx_d(mat.alpha, h)
+    lam_pdf = jnp.where(same_h, jnp.abs(cos_theta(w_i)) / PI, 0.0)
+
+    # StandardPBR eval (material.hlsl:179-270) off the shared terms
+    cos_ih = dot(w_i, h, keepdims=False)
+    f_dielectric = fresnel_dielectric(cos_ih, AIR_IOR, mat.ior)[..., None]
+    f_metallic = schlick_color(cos_ih, mat.color)
+    fr = f_dielectric + (f_metallic - f_dielectric) * mat.metalness[..., None]
+    g = ggx_g(mat.alpha, w_i, w_o)
+    denom = 4.0 * jnp.abs(cos_theta(w_i)) * jnp.abs(cos_theta(w_o))
+    spec = fr * (g * d_ggx / jnp.maximum(denom, 1e-12))[..., None]
+    spec = jnp.where(same_h[..., None], spec, 0.0)
+    diffuse = _lambert_eval(mat.color, w_i, w_o)
+    pbr_f = spec + (1.0 - mat.metalness[..., None]) * diffuse
+
+    # StandardPBR pdf: micro pdf reuses the same h and D
+    mic = d_ggx * jnp.abs(cos_theta(h)) / jnp.maximum(
+        4.0 * dot(w_o, h, keepdims=False), 1e-12)
+    mic = jnp.where(same_h, mic, 0.0)
+    pbr_pdf = lam_pdf + (mic - lam_pdf) * _pbr_p_specular(mat.metalness)
+
+    zeros = jnp.zeros_like(lam_pdf)
+    f = _select(
+        mat.type,
+        _glass_eval(mat, w_i, w_o),
+        _lambert_eval(mat.color, w_i, w_o),
+        _mirror_eval(w_i),
+        pbr_f,
+    )
+    pdf = _select(mat.type, zeros, lam_pdf, zeros, pbr_pdf)
+    return f, pdf
+
+
 def sample_bsdf(mat: MaterialLanes, w_o, square):
     """Draw a scattering direction. Returns (w_i [N,3], pdf [N]).
 

@@ -149,6 +149,34 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     return position, uv, tri_frame, vtx_frame, mat_row, sampled
 
 
+def _decode_hit_thin(scene, tri, bary_u, bary_v):
+    """Last-segment decode: the final bounce only accumulates emissive
+    (integrator.hlsl:109-124) and dies, so it needs position (mesh-light
+    MIS pdf), the triangle normal (front-face test), uv (textured
+    emissive), the material row, and the sampled flag — no vertex
+    normals, tangent frames, or BSDF map fetch. Values are bit-identical
+    to the full decode's."""
+    row = gather_rows(scene.tri_shade, tri)  # [N, 48]
+    n = tri.shape[0]
+    corners = row[:, 0:9].reshape(n, 3, 3)
+    uvs = row[:, 18:24].reshape(n, 3, 2)
+    sampled = row[:, 25] > 0.5
+    position = _interp(bary_u, bary_v, corners)
+    uv = _interp(bary_u, bary_v, uvs)
+    p0, p1, p2 = corners[:, 0], corners[:, 1], corners[:, 2]
+    tri_n = safe_normalize(jnp.cross(p0 - p2, p1 - p2))
+    return position, uv, tri_n, row[:, 32:48], sampled
+
+
+def _decode_emissive(scene, mat_row, uv):
+    """Emitted radiance only (getEmissive, material.hlsl:519-522)."""
+    if scene.mat_atlas.emissive_constant:
+        return mat_row[:, 7:10]
+    block_b = sample_material_block(scene.mat_atlas.emissive,
+                                    mat_row[:, 12:16], uv)
+    return block_b[:, TX.EMISSIVE]
+
+
 def _decode_material(scene, mat_row, uv):
     """Per-lane material parameters, emitted radiance, and tangent-space
     normal (material.hlsl loads :146-199 + getEmissive :519-522 + the
@@ -170,12 +198,7 @@ def _decode_material(scene, mat_row, uv):
         metalness = block[:, TX.METALNESS]
         roughness = block[:, TX.ROUGHNESS]
         normal_rg = block[:, TX.NORMAL_RG]
-    if scene.mat_atlas.emissive_constant:
-        emissive = mat_row[:, 7:10]
-    else:
-        block_b = sample_material_block(scene.mat_atlas.emissive,
-                                        mat_row[:, 12:16], uv)
-        emissive = block_b[:, TX.EMISSIVE]
+    emissive = _decode_emissive(scene, mat_row, uv)
     lanes = B.MaterialLanes(
         type=mat_row[:, 0].astype(jnp.int32),
         color=color,
@@ -286,6 +309,7 @@ def _resolve_resort(scene, cfg: PathConfig, n_lanes: int) -> bool:
     if cfg.resort_bounces is not None:
         return cfg.resort_bounces
     wide = getattr(scene, "wide", None)
+    mode = _hbm_mode(wide)
     # measured: +7%/+29% on the HBM room rungs at 262k lanes, but a >10x
     # collapse at >=1M lanes — the sort itself stays ~0.2 ms at any size,
     # yet composed into the large unrolled graph XLA's schedule degrades
@@ -293,7 +317,13 @@ def _resolve_resort(scene, cfg: PathConfig, n_lanes: int) -> bool:
     # where it is measured and avoids the cliff; resort_bounces=True
     # still forces it at any size. Treelet-scheduled scenes re-sort
     # internally every round, so the bounce-level resort adds nothing.
-    return _hbm_mode(wide) == "hbm" and n_lanes <= 600_000
+    if mode == "hbm":
+        return n_lanes <= 600_000
+    # VMEM scenes: delta scatters (mirror/glass) decohere ray origins, and
+    # the multi-operand sort is cheap enough that re-sorting pays
+    # (+11-18% measured with deltas); diffuse-only scenes keep tile order
+    # (-10-26% if sorted).
+    return mode == "vmem" and getattr(scene, "has_delta", False)
 
 
 def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
@@ -346,32 +376,47 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
 
     # ---- decode surface (gathers are clamped; masked lanes are junk-safe)
     tri = jnp.clip(hit.tri, 0, scene.num_tris - 1)
-    position, uv, tri_frame, vtx_frame, mat_row, tri_sampled = _decode_hit(
-        scene, tri, hit.u, hit.v
-    )
-    mat, emissive, normal_rg = _decode_material(scene, mat_row, uv)
-    tex_frame = _texture_frame(normal_rg, vtx_frame)
-
     w_o_ws = -d
-    # shading-normal selection chain (integrator.hlsl:93-104)
-    frontfacing = dot(tri_frame.n, w_o_ws, keepdims=False) > 0.0
-    sgn = jnp.where(frontfacing, 1.0, -1.0)
-    tex_ok = sgn * dot(w_o_ws, tex_frame.n, keepdims=False) > 0.0
-    vtx_ok = sgn * dot(w_o_ws, vtx_frame.n, keepdims=False) > 0.0
-    pick = lambda a, b, c: jnp.where(
-        tex_ok[..., None], a, jnp.where(vtx_ok[..., None], b, c)
-    )
-    frame = Frame(
-        n=pick(tex_frame.n, vtx_frame.n, tri_frame.n),
-        s=pick(tex_frame.s, vtx_frame.s, tri_frame.s),
-        t=pick(tex_frame.t, vtx_frame.t, tri_frame.t),
-    )
-    w_o_ss = frame.world_to_frame(w_o_ws)
+    if last:
+        # final segment only accumulates emissive: thin decode, no frames
+        position, uv, tri_n, mat_row, tri_sampled = _decode_hit_thin(
+            scene, tri, hit.u, hit.v
+        )
+        emissive = _decode_emissive(scene, mat_row, uv)
+    else:
+        position, uv, tri_frame, vtx_frame, mat_row, tri_sampled = (
+            _decode_hit(scene, tri, hit.u, hit.v)
+        )
+        mat, emissive, normal_rg = _decode_material(scene, mat_row, uv)
+        tri_n = tri_frame.n
+
+        # shading-normal selection chain (integrator.hlsl:93-104). When
+        # every normal map is the flat constant the texture frame IS the
+        # vertex frame, so the decode + frame construction + first chain
+        # leg are statically skipped (static atlas property).
+        frontfacing = dot(tri_frame.n, w_o_ws, keepdims=False) > 0.0
+        sgn = jnp.where(frontfacing, 1.0, -1.0)
+        vtx_ok = sgn * dot(w_o_ws, vtx_frame.n, keepdims=False) > 0.0
+        if scene.mat_atlas.normals_flat:
+            pick = lambda a, b, c: jnp.where(vtx_ok[..., None], b, c)
+            tex_frame = vtx_frame
+        else:
+            tex_frame = _texture_frame(normal_rg, vtx_frame)
+            tex_ok = sgn * dot(w_o_ws, tex_frame.n, keepdims=False) > 0.0
+            pick = lambda a, b, c: jnp.where(
+                tex_ok[..., None], a, jnp.where(vtx_ok[..., None], b, c)
+            )
+        frame = Frame(
+            n=pick(tex_frame.n, vtx_frame.n, tri_frame.n),
+            s=pick(tex_frame.s, vtx_frame.s, tri_frame.s),
+            t=pick(tex_frame.t, vtx_frame.t, tri_frame.t),
+        )
+        w_o_ss = frame.world_to_frame(w_o_ws)
 
     # ---- emissive accumulation (integrator.hlsl:109-124)
     emit_plain = lor(cfg.mesh_samples_per_bounce == 0,
                      lor(bounce == 0, lor(~tri_sampled, last_delta)))
-    emit_front = dot(w_o_ws, tri_frame.n, keepdims=False) > 0.0
+    emit_front = dot(w_o_ws, tri_n, keepdims=False) > 0.0
     radiance = radiance + jnp.where(
         (active & emit_plain & emit_front)[..., None],
         throughput * emissive,
@@ -379,7 +424,7 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
     )
     if cfg.mesh_samples_per_bounce > 0:
         light_pdf = area_to_solid_angle(
-            position, o, d, tri_frame.n
+            position, o, d, tri_n
         ) / jnp.maximum(scene.emitters.weight_sum, 1e-20)
         w = power_heuristic(
             1.0, last_pdf, cfg.mesh_samples_per_bounce, light_pdf
@@ -479,8 +524,7 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
             rays = rays + jnp.sum(lane)
             l_pdf = jnp.where(occluded, 0.0, l_pdf)
             w_i_ss = frame.world_to_frame(l_dir)
-            scatter_pdf = B.pdf_bsdf(mat, w_i_ss, w_o_ss)
-            brdf = B.eval_bsdf(mat, w_i_ss, w_o_ss)
+            brdf, scatter_pdf = B.eval_pdf_bsdf(mat, w_i_ss, w_o_ss)
             n_samples = (
                 cfg.env_samples_per_bounce if kind == "env"
                 else cfg.mesh_samples_per_bounce
@@ -601,7 +645,10 @@ def trace_paths_staged(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
     if cfg.resort_bounces is not None:
         resort = cfg.resort_bounces
     else:
-        resort = _hbm_mode(wide) == "hbm"
+        mode = _hbm_mode(wide)
+        resort = mode == "hbm" or (
+            mode == "vmem" and getattr(scene, "has_delta", False)
+        )
     st = jax.jit(_init_state)(ray_o, ray_d, rng_state)
     n_segments = cfg.max_bounces + 2
     for b in range(n_segments):

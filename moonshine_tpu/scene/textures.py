@@ -70,6 +70,13 @@ class MaterialAtlas(NamedTuple):
     # (procedural benches, furnace tests) skip the atlas altogether.
     bsdf_token: jnp.ndarray
     emissive_token: jnp.ndarray
+    # shape-encoded: [0] = every material's normal map is the flat
+    # constant (0.5, 0.5). The shading-normal chain then ends at the
+    # vertex frame (texture frame == vertex frame mathematically), so the
+    # integrator statically skips the normal decode + texture-frame
+    # construction + the first leg of the fallback chain
+    # (integrator.hlsl:93-104 degenerates the same way for flat maps).
+    normal_token: jnp.ndarray
 
     @property
     def bsdf_constant(self) -> bool:
@@ -82,6 +89,10 @@ class MaterialAtlas(NamedTuple):
     @property
     def all_constant(self) -> bool:
         return self.bsdf_constant and self.emissive_constant
+
+    @property
+    def normals_flat(self) -> bool:
+        return self.normal_token.shape[0] == 0
 
 
 def _as_image(source, channels: int) -> np.ndarray:
@@ -188,8 +199,12 @@ class MaterialBlockBuilder:
         self.constants: list[np.ndarray] = []
         self.bsdf_textured = False
         self.emissive_textured = False
+        self.normals_flat = True
 
     def add(self, color, metalness, roughness, emissive, normal_rg) -> int:
+        nrm = _as_image(normal_rg, 2)
+        if nrm.shape[:2] != (1, 1) or not np.all(nrm == 0.5):
+            self.normals_flat = False
         a = _pack_block([
             (COLOR, _as_image(color, 3)),
             (slice(METALNESS, METALNESS + 1), _as_image(metalness, 1)),
@@ -226,6 +241,8 @@ class MaterialBlockBuilder:
                 (1 if self.bsdf_textured else 0,), jnp.uint8),
             emissive_token=jnp.zeros(
                 (1 if self.emissive_textured else 0,), jnp.uint8),
+            normal_token=jnp.zeros(
+                (0 if self.normals_flat else 1,), jnp.uint8),
         )
         return atlas, np.stack([rects_a, rects_b], axis=1), np.stack(
             self.constants)

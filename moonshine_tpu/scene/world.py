@@ -115,10 +115,19 @@ class DeviceScene(NamedTuple):
     mat_atlas: MaterialAtlas
     env: EnvMap
     emitters: EmitterTable
+    # shape-encoded: [1] = the scene contains a delta material (mirror /
+    # glass). Delta scatters decohere ray origins across bounces, which
+    # is when the per-bounce coherence resort pays on VMEM-resident
+    # scenes (measured +11-18% with deltas, -10-26% without).
+    delta_token: jnp.ndarray
 
     @property
     def num_tris(self) -> int:
         return self.bvh.num_tris
+
+    @property
+    def has_delta(self) -> bool:
+        return self.delta_token.shape[0] == 1
 
     def corner_positions(self, tri_ids):
         """Gather [N,3,3] world corner positions for original tri ids.
@@ -380,6 +389,11 @@ class World:
             mat_atlas=mat_atlas,
             env=self._build_env(),
             emitters=emitters,
+            delta_token=jnp.zeros(
+                (1 if any(
+                    isinstance(m.variant, (Mirror, Glass))
+                    for m in self.materials
+                ) else 0,), jnp.uint8),
         )
 
     def _refit(self, scene: DeviceScene) -> DeviceScene:

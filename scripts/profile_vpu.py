@@ -108,11 +108,18 @@ def main():
     f32_packed = _mk_slab(jnp.float32, fma_form=False, packed_any=True)
     bf16 = _mk_slab(jnp.bfloat16, fma_form=False, packed_any=False)
     bf16_packed = _mk_slab(jnp.bfloat16, fma_form=False, packed_any=True)
-    timeit("slab f32 sub-mul, per-child any", f32)
-    timeit("slab f32 FMA-form, per-child any", f32_fma)
-    timeit("slab f32 sub-mul, packed-or any", f32_packed)
-    timeit("slab bf16 sub-mul, per-child any", bf16)
-    timeit("slab bf16 sub-mul, packed-or any", bf16_packed)
+    for name, fn in [
+        ("slab f32 sub-mul, per-child any", f32),
+        ("slab f32 FMA-form, per-child any", f32_fma),
+        ("slab f32 sub-mul, packed-or any", f32_packed),
+        ("slab bf16 sub-mul, per-child any", bf16),
+        ("slab bf16 sub-mul, packed-or any", bf16_packed),
+    ]:
+        try:
+            timeit(name, fn)
+        except Exception as e:  # Mosaic layout bugs on some variants
+            print(f"{name:44s} FAILED: {str(e).splitlines()[0][:80]}",
+                  flush=True)
 
 
 if __name__ == "__main__":
