@@ -43,7 +43,10 @@ from .wide import WideBVH, WIDTH
 # big scenes may prefer smaller blocks (divergence) — tune via
 # set_block_size.
 BLOCK = 8192       # VMEM-path packet width
-HBM_BLOCK = 4096   # HBM-path packet width (bigger unions hurt big scenes)
+# HBM-path packet width: bigger unions hurt big scenes — room_184k
+# end-to-end: 2048 -> 1.65, 4096 -> 1.53, 8192 -> 1.18 Mrays/s
+# (scripts/profile_hbm_block.py)
+HBM_BLOCK = 2048
 ROWS = BLOCK // 128
 STACK_DEPTH = 512
 # the HBM kernel's stack is shallower (it was sized when each slot carried
@@ -281,7 +284,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
 
         def cond(carry):
             if any_hit:
-                top, all_done = carry
+                top, all_done, _ = carry
                 return (top > 0) & jnp.logical_not(all_done)
             return carry > 0
 
@@ -329,14 +332,39 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                           for j in range(WIDTH)]
                 child_all = [nrow(48 + j).astype(jnp.int32)
                              for j in range(WIDTH)]
-                # hit mask + conservative entry distance per child slot
-                hits = []
+                # hit masks per child slot. On real TPU (dma_rows) the 8
+                # masks pack into one int32 bitfield vector OR-folded
+                # across sublanes with static-slice tree steps (Mosaic has
+                # no OR reduction primitive) — all 8 "any lane entered
+                # child j?" answers then come from single-vreg jnp.any's
+                # instead of 8 full cross-lane reductions (+6% flagship,
+                # bit-identical results). Interpret mode keeps the plain
+                # per-child jnp.any (the slice tree interprets ~12x slower).
+                child_hits = []
                 for j in range(WIDTH):
                     tnear, tfar = _slab_test(lo_all[j], hi_all[j], o, inv_d)
                     hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= prune)
                     if any_hit:
                         hit = hit & live
-                    hits.append(jnp.any(hit) & (child_all[j] != -1))
+                    child_hits.append(hit)
+                if dma_rows:
+                    packed = None
+                    for j in range(WIDTH):
+                        bit = child_hits[j].astype(jnp.int32) * (1 << j)
+                        packed = bit if packed is None else packed | bit
+                    while packed.shape[0] > 1:
+                        half = packed.shape[0] // 2
+                        packed = packed[:half] | packed[half:]
+                    hits = [
+                        jnp.any((packed & (1 << j)) != 0)
+                        & (child_all[j] != -1)
+                        for j in range(WIDTH)
+                    ]
+                else:
+                    hits = [
+                        jnp.any(child_hits[j]) & (child_all[j] != -1)
+                        for j in range(WIDTH)
+                    ]
                 base = top - 1
 
                 # children are build-sorted ascending along the node's
@@ -429,12 +457,27 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                     dma_ref[1] = next_node
                     dma_ref[2] = 1
             if any_hit:
-                all_done = jnp.all((occ_ref[0] > 0) | ~live0)
-                return new_top, all_done
+                # the exit reduction is a full cross-lane jnp.all; on TPU
+                # check it every 8th visit — exits land a few visits
+                # later, results are identical, and 7/8 of the reductions
+                # disappear (interpret mode keeps the per-visit check)
+                vc = carry[2] + 1
+                if dma_rows:
+                    all_done = jax.lax.cond(
+                        (vc & 7) == 0,
+                        lambda: jnp.all((occ_ref[0] > 0) | ~live0),
+                        lambda: jnp.bool_(False),
+                    )
+                else:
+                    all_done = jnp.all((occ_ref[0] > 0) | ~live0)
+                return new_top, all_done, vc
             return new_top
 
         if any_hit:
-            jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(False)))
+            jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(1), jnp.bool_(False), jnp.int32(0)),
+            )
         else:
             jax.lax.while_loop(cond, body, jnp.int32(1))
 

@@ -69,7 +69,16 @@ def _mk_slab(dtype, fma_form: bool, packed_any: bool):
                     jnp.minimum(jnp.maximum(t0[0], t1[0]),
                                 jnp.maximum(t0[1], t1[1])),
                     jnp.maximum(t0[2], t1[2]))
-                hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= prune)
+                if dtype == jnp.bfloat16:
+                    # bf16 compares produce (16,128)-tiled i1 vectors that
+                    # Mosaic can't relayout; compare in f32 instead (the
+                    # min/max/mul ALU stays bf16 — that's what's measured)
+                    tnear = tnear.astype(jnp.float32)
+                    tfar = tfar.astype(jnp.float32)
+                    hit = ((tnear <= tfar) & (tfar >= 0.0)
+                           & (tnear <= prune.astype(jnp.float32)))
+                else:
+                    hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= prune)
                 hits.append(hit)
             if packed_any:
                 packed = hits[0].astype(jnp.int32)
@@ -101,8 +110,55 @@ def _mk_slab(dtype, fma_form: bool, packed_any: bool):
     return run
 
 
+def _mk_alu(dtype, rows=64):
+    """Pure vector-ALU loop: V iterations of a mul/min/max/add chain on a
+    (rows,128) block with a carried dependence — no SMEM reads, no
+    compares. Answers whether bf16 elementwise math outruns f32 on the
+    VPU at all."""
+
+    def kernel(a_ref, b_ref, out_ref):
+        a0 = a_ref[0]
+        b = b_ref[0]
+
+        def body(v, a):
+            a = a * b + a
+            a = jnp.minimum(a * 1.0000001, a + b)
+            a = jnp.maximum(a - b, a * 0.9999999)
+            a = a * b + b
+            a = jnp.minimum(a, b * 1.5)
+            a = jnp.maximum(a, b * 0.5)
+            return a
+
+        out_ref[0] = jax.lax.fori_loop(0, VISITS, body, a0)
+
+    def run():
+        a = jnp.full((1, rows, 128), 1.0, dtype)
+        b = jnp.full((1, rows, 128), 0.5, dtype)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec((1, rows, 128), lambda: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((1, rows, 128), lambda: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, rows, 128), dtype),
+        )(a, b)
+
+    return run
+
+
 def main():
     print(f"device: {jax.devices()[0]}")
+    for name, fn in [
+        ("pure ALU f32 (64x128, 10 ops/iter)", _mk_alu(jnp.float32)),
+        ("pure ALU bf16 (64x128, 10 ops/iter)", _mk_alu(jnp.bfloat16)),
+        ("pure ALU f32 (256x128)", _mk_alu(jnp.float32, rows=256)),
+        ("pure ALU bf16 (256x128)", _mk_alu(jnp.bfloat16, rows=256)),
+    ]:
+        try:
+            timeit(name, fn)
+        except Exception as e:
+            print(f"{name:44s} FAILED: {str(e).splitlines()[0][:80]}",
+                  flush=True)
     f32 = _mk_slab(jnp.float32, fma_form=False, packed_any=False)
     f32_fma = _mk_slab(jnp.float32, fma_form=True, packed_any=False)
     f32_packed = _mk_slab(jnp.float32, fma_form=False, packed_any=True)
