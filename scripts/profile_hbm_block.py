@@ -27,7 +27,7 @@ def main():
     cfg = PathConfig(max_bounces=4, env_samples_per_bounce=1,
                      mesh_samples_per_bounce=1)
     SPP = 3
-    for hbm_block in (2048, 4096, 8192):
+    for hbm_block in (1024, 2048):
         packet.set_block_size(8192, hbm_block)
         jax.clear_caches()
         img, rays = render_spp(scene, la, 512, 512, 0, SPP, cfg)
