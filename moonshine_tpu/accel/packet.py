@@ -574,9 +574,9 @@ def _scene_specs(wbvh: WideBVH, hbm: bool):
     return [full(wbvh.nodes), full(wbvh.leaves)]
 
 
-def _scratch(hbm: bool, dma_rows: bool = True):
-    stack = pltpu.SMEM(
-        (HBM_STACK_DEPTH if hbm else STACK_DEPTH,), jnp.int32)
+def _scratch(hbm: bool, dma_rows: bool = True, any_hit: bool = False):
+    depth = HBM_STACK_DEPTH if hbm else STACK_DEPTH
+    stack = pltpu.SMEM((depth,), jnp.int32)
     if not dma_rows:
         return [stack]
     return [
@@ -632,20 +632,32 @@ def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
     return (hit, out[4]) if count_visits else hit
 
 
-def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm):
+def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
+                 count_visits=False):
     block = 1024 if interpret else (HBM_BLOCK if hbm else BLOCK)
     rows = block // 128
     rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in, block)
-    occ = pl.pallas_call(
-        _make_kernel(any_hit=True, dma_rows=not interpret),
+    out_shapes = [jax.ShapeDtypeStruct((G, rows, 128), jnp.int32)]
+    out_specs = [_ray_spec_for(rows)]
+    scratch = _scratch(hbm, dma_rows=not interpret, any_hit=True)
+    if count_visits:
+        out_shapes.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        scratch = scratch + [pltpu.SMEM((1,), jnp.int32)]
+    out = pl.pallas_call(
+        _make_kernel(any_hit=True, dma_rows=not interpret,
+                     count_visits=count_visits),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
-        out_specs=_ray_spec_for(rows),
-        out_shape=jax.ShapeDtypeStruct((G, rows, 128), jnp.int32),
-        scratch_shapes=_scratch(hbm, dma_rows=not interpret),
+        out_specs=out_specs if count_visits else out_specs[0],
+        out_shape=out_shapes if count_visits else out_shapes[0],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(wbvh.nodes, wbvh.leaves, *rays)
-    return occ.reshape(-1)[:N] > 0
+    occ = out[0] if count_visits else out
+    occ = occ.reshape(-1)[:N] > 0
+    return (occ, out[1]) if count_visits else occ
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sort"))
