@@ -182,7 +182,10 @@ def _load_rays(refs):
         1.0 / jnp.where(jnp.abs(c) < tiny, jnp.where(c >= 0, tiny, -tiny), c)
         for c in d
     )
-    return o, d, inv, tmax
+    # o*inv precomputed once per block: the slab test then runs as
+    # bound*inv - oinv, one FMA per bound instead of sub + mul
+    oinv = tuple(o[c] * inv[c] for c in range(3))
+    return o, d, inv, oinv, tmax
 
 
 def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
@@ -218,7 +221,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
             else:
                 (t_ref, tri_ref, u_ref, v_ref, stack_ref) = refs
 
-        o, d, inv_d, tmax = _load_rays(
+        o, d, inv_d, oinv, tmax = _load_rays(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref)
         )
         live0 = tmax > 0.0
@@ -340,10 +343,28 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                 # instead of 8 full cross-lane reductions (+6% flagship,
                 # bit-identical results). Interpret mode keeps the plain
                 # per-child jnp.any (the slice tree interprets ~12x slower).
+                # slab test, FMA form: bound*inv - (o*inv) is one fused op
+                # per bound, and folding the 3-compare hit test into
+                # max(tnear, 0) <= min(tfar, prune) drops ~30% of the
+                # per-visit vector ALU. Equivalent to the sub-mul form up
+                # to 1-ulp rounding on box boundaries; final hit t/u/v come
+                # from exact triangle tests either way. Dead lanes carry
+                # prune < 0, so min(tfar, prune) keeps them out of unions.
                 child_hits = []
                 for j in range(WIDTH):
-                    tnear, tfar = _slab_test(lo_all[j], hi_all[j], o, inv_d)
-                    hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= prune)
+                    t0 = [lo_all[j][c] * inv_d[c] - oinv[c] for c in range(3)]
+                    t1 = [hi_all[j][c] * inv_d[c] - oinv[c] for c in range(3)]
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0[0], t1[0]),
+                                    jnp.minimum(t0[1], t1[1])),
+                        jnp.minimum(t0[2], t1[2]),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0[0], t1[0]),
+                                    jnp.maximum(t0[1], t1[1])),
+                        jnp.maximum(t0[2], t1[2]),
+                    )
+                    hit = jnp.maximum(tnear, 0.0) <= jnp.minimum(tfar, prune)
                     if any_hit:
                         hit = hit & live
                     child_hits.append(hit)
@@ -565,13 +586,29 @@ def _ray_spec_for(rows):
 
 
 def _scene_specs(wbvh: WideBVH, hbm: bool):
-    if hbm:
-        return [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda g: tuple(0 for _ in arr.shape),
         memory_space=pltpu.VMEM,
     )
+    if hbm:
+        # hybrid residency: internal-node rows usually fit VMEM long
+        # after the (much larger) leaf array has outgrown it, and a
+        # VMEM->SMEM row copy has far lower latency than HBM->SMEM — so
+        # park the nodes in VMEM and stream only leaf rows from HBM
+        node_spec = (full(wbvh.nodes) if _nodes_fit_vmem(wbvh)
+                     else pl.BlockSpec(memory_space=pltpu.ANY))
+        return [node_spec, pl.BlockSpec(memory_space=pltpu.ANY)]
     return [full(wbvh.nodes), full(wbvh.leaves)]
+
+
+# node-array VMEM budget for the hybrid HBM mode (the full VMEM budget
+# is VMEM_SCENE_BUDGET_BYTES; leave room for ray tiles and row buffers)
+NODES_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _nodes_fit_vmem(wbvh: WideBVH) -> bool:
+    return (int(np.prod(wbvh.nodes.shape)) * wbvh.nodes.dtype.itemsize
+            <= NODES_VMEM_BUDGET_BYTES)
 
 
 def _scratch(hbm: bool, dma_rows: bool = True, any_hit: bool = False):
