@@ -99,7 +99,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, K: int,
             else:
                 (t_ref, tri_ref, u_ref, v_ref, stack_ref) = refs
 
-        o, d, inv_d, tmax = _load_rays(
+        o, d, inv_d, _oinv, tmax = _load_rays(
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref)
         )
         if any_hit:
