@@ -9,10 +9,19 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: the fused render graph takes minutes to
+# compile cold; cached reruns start in seconds (jax honors this env var)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+)
 
 
 def main():

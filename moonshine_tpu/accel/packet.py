@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.sortutil import sort_lanes
 from .traverse import Hit
-from .wide import WideBVH, WIDTH
+from .wide import WideBVH, WIDTH, LEAF_CAP
 
 # Rays per packet. Bigger blocks amortize the per-visit scalar work (stack
 # ops, row scalar loads) over more lanes; vector work is proportional. On a
@@ -188,7 +188,8 @@ def _load_rays(refs):
     return o, d, inv, oinv, tmax
 
 
-def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
+def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
+                 width: int = WIDTH):
     """One traversal kernel. dma_rows=True (all real-TPU dispatches, both
     VMEM- and HBM-resident scenes): visited rows are DMA'd into SMEM
     double buffers with next-pop prefetch — every consumer of a row is a
@@ -207,6 +208,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
             cnt_ref = refs.pop(n_out)
             cnt_sc = refs.pop()
             cnt_sc[0] = 0
+            cnt_sc[1] = 0
             refs = tuple(refs)
         if dma_rows:
             if any_hit:
@@ -297,6 +299,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
             node = stack_ref[slot]
             if count_visits:
                 cnt_sc[0] += 1
+                cnt_sc[1] += (node >= 0).astype(jnp.int32)  # internal visits
             if dma_rows:
                 cur = dma_ref[0]
                 fetch_wait(cur, node)
@@ -329,12 +332,12 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
             def internal(top):
                 # read the whole node row BEFORE any push: in HBM mode the
                 # first pushed child's DMA reuses (overwrites) this slot
-                lo_all = [[nrow(c * 8 + j) for c in range(3)]
-                          for j in range(WIDTH)]
-                hi_all = [[nrow(24 + c * 8 + j) for c in range(3)]
-                          for j in range(WIDTH)]
-                child_all = [nrow(48 + j).astype(jnp.int32)
-                             for j in range(WIDTH)]
+                lo_all = [[nrow(c * width + j) for c in range(3)]
+                          for j in range(width)]
+                hi_all = [[nrow(3 * width + c * width + j) for c in range(3)]
+                          for j in range(width)]
+                child_all = [nrow(6 * width + j).astype(jnp.int32)
+                             for j in range(width)]
                 # hit masks per child slot. On real TPU (dma_rows) the 8
                 # masks pack into one int32 bitfield vector OR-folded
                 # across sublanes with static-slice tree steps (Mosaic has
@@ -351,7 +354,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                 # from exact triangle tests either way. Dead lanes carry
                 # prune < 0, so min(tfar, prune) keeps them out of unions.
                 child_hits = []
-                for j in range(WIDTH):
+                for j in range(width):
                     t0 = [lo_all[j][c] * inv_d[c] - oinv[c] for c in range(3)]
                     t1 = [hi_all[j][c] * inv_d[c] - oinv[c] for c in range(3)]
                     tnear = jnp.maximum(
@@ -370,7 +373,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                     child_hits.append(hit)
                 if dma_rows:
                     packed = None
-                    for j in range(WIDTH):
+                    for j in range(width):
                         bit = child_hits[j].astype(jnp.int32) * (1 << j)
                         packed = bit if packed is None else packed | bit
                     while packed.shape[0] > 1:
@@ -379,19 +382,19 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                     hits = [
                         jnp.any((packed & (1 << j)) != 0)
                         & (child_all[j] != -1)
-                        for j in range(WIDTH)
+                        for j in range(width)
                     ]
                 else:
                     hits = [
                         jnp.any(child_hits[j]) & (child_all[j] != -1)
-                        for j in range(WIDTH)
+                        for j in range(width)
                     ]
                 base = top - 1
 
                 # children are build-sorted ascending along the node's
                 # dominant axis (col 56); push far-to-near so the LIFO pops
                 # near children first and t-pruning culls far subtrees
-                axis = nrow(56)
+                axis = nrow(7 * width)
                 fwd = jax.lax.select(
                     axis < 0.5, dir_sign[0],
                     jax.lax.select(axis < 1.5, dir_sign[1], dir_sign[2]),
@@ -412,8 +415,8 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
 
                 return jax.lax.cond(
                     fwd,
-                    lambda: push_loop(range(WIDTH - 1, -1, -1)),
-                    lambda: push_loop(range(WIDTH)),
+                    lambda: push_loop(range(width - 1, -1, -1)),
+                    lambda: push_loop(range(width)),
                 )
 
             def leaf(top):
@@ -424,7 +427,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                     tri_best = tri_ref[0]
                     u_best = u_ref[0]
                     v_best = v_ref[0]
-                for j in range(WIDTH):
+                for j in range(LEAF_CAP):
                     v0 = [lrow(c * 8 + j) for c in range(3)]
                     e1 = [lrow(24 + c * 8 + j) for c in range(3)]
                     e2 = [lrow(48 + c * 8 + j) for c in range(3)]
@@ -509,7 +512,10 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False):
                 fetch_wait(dma_ref[0], dma_ref[1])
 
         if count_visits:
-            cnt_ref[0] = jnp.full_like(cnt_ref[0], cnt_sc[0])
+            # sublane 0 = total visits, sublane 1 = internal visits
+            tile = jnp.full_like(cnt_ref[0], cnt_sc[0])
+            row = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+            cnt_ref[0] = jnp.where(row == 1, cnt_sc[1], tile)
 
     return kernel
 
@@ -649,10 +655,10 @@ def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
         out_shapes.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
                                       memory_space=pltpu.VMEM))
-        scratch = scratch + [pltpu.SMEM((1,), jnp.int32)]
+        scratch = scratch + [pltpu.SMEM((2,), jnp.int32)]
     out = pl.pallas_call(
         _make_kernel(any_hit=False, dma_rows=not interpret,
-                     count_visits=count_visits),
+                     count_visits=count_visits, width=wbvh.width),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
         out_specs=out_specs,
@@ -681,10 +687,10 @@ def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
         out_shapes.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
                                       memory_space=pltpu.VMEM))
-        scratch = scratch + [pltpu.SMEM((1,), jnp.int32)]
+        scratch = scratch + [pltpu.SMEM((2,), jnp.int32)]
     out = pl.pallas_call(
         _make_kernel(any_hit=True, dma_rows=not interpret,
-                     count_visits=count_visits),
+                     count_visits=count_visits, width=wbvh.width),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
         out_specs=out_specs if count_visits else out_specs[0],

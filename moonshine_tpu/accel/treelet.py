@@ -59,9 +59,11 @@ MAX_KEYED = 512  # subkey space: 4^3 origin cells x 8 octants
 
 
 def available(wbvh: WideBVH) -> bool:
+    # the treelet kernel is written against the 8-wide node layout only
+    # (it's an opt-in experiment; see BASELINE.md round-3 rejections)
     return getattr(wbvh, "t_roots", None) is not None and (
         wbvh.t_roots.shape[0] >= 2
-    )
+    ) and wbvh.width == WIDTH
 
 
 def _make_kernel(any_hit: bool, dma_rows: bool, K: int,

@@ -33,6 +33,14 @@ from . import lbvh
 
 LEAF_CAP = 8
 WIDTH = 8
+# Wider internal nodes amortize the per-visit fixed cost (loop control,
+# DMA reconcile, leaf/internal cond dispatch, stack maintenance) over
+# twice the children: a 16-wide row still fits the 128-float node layout
+# (96 bounds + 16 ptrs + 1 axis = 113) and eliminates every other tree
+# level. Box-test vector ALU per ray is *lower* whenever a visited 8-wide
+# parent would have pushed >= 1 child (16 tests replace 8 + 8h). Used for
+# HBM-resident scenes where the kernel is bound by per-visit fixed work.
+WIDTH_WIDE = 16
 
 
 class WideTopology(NamedTuple):
@@ -50,8 +58,8 @@ class WideTopology(NamedTuple):
     hardware TLAS degrades until the next full rebuild.
     """
 
-    int_ids: np.ndarray  # [W, 8] i64 binary node per internal slot, -1 else
-    ptr: np.ndarray  # [W, 8] i64 child pointers (wide id / -1 / -2-leaf)
+    int_ids: np.ndarray  # [W, width] i64 binary node per internal slot, -1 else
+    ptr: np.ndarray  # [W, width] i64 child pointers (wide id / -1 / -2-leaf)
     node_axis: np.ndarray  # [W] i64
     orig: np.ndarray  # [L, 8] i64 original triangle ids, -1 padding
     in_range: np.ndarray  # [L, 8] bool occupied tri slots
@@ -61,6 +69,10 @@ class WideTopology(NamedTuple):
     # tile the whole tree; see plan_treelets. Scheduling metadata only —
     # traversal through nodes/leaves is unchanged.
     treelet_roots: np.ndarray
+    # children per internal node (8 or 16); node row layout is
+    # lo c*w+j | hi 3w+c*w+j | ptr 6w+j | axis 7w — identical to the
+    # historical layout at w=8. Leaf rows are always 8-slot.
+    width: int = WIDTH
 
 
 def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
@@ -70,6 +82,7 @@ def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
     W_n = len(topo.ptr)
     cap = topo.leaf_cap
     L = len(topo.orig)
+    w = topo.width
 
     # leaf data + tight leaf boxes straight from the triangles
     safe_orig = np.clip(topo.orig, 0, len(tri_verts) - 1)
@@ -85,23 +98,23 @@ def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
     is_int = topo.int_ids >= 0
     is_leaf_slot = topo.ptr <= -2
     leaf_ids = np.where(is_leaf_slot, -2 - topo.ptr, 0)
-    box_lo = np.zeros((W_n, WIDTH, 3), np.float32)
-    box_hi = np.zeros((W_n, WIDTH, 3), np.float32)
+    box_lo = np.zeros((W_n, w, 3), np.float32)
+    box_hi = np.zeros((W_n, w, 3), np.float32)
     box_lo[is_int] = b_min[np.clip(topo.int_ids, 0, len(b_min) - 1)][is_int]
     box_hi[is_int] = b_max[np.clip(topo.int_ids, 0, len(b_max) - 1)][is_int]
     box_lo[is_leaf_slot] = leaf_lo[leaf_ids[is_leaf_slot]]
     box_hi[is_leaf_slot] = leaf_hi[leaf_ids[is_leaf_slot]]
 
     nodes = np.zeros((W_n, 128), np.float32)
-    nodes[:, 0:24] = box_lo.transpose(0, 2, 1).reshape(W_n, 24)
-    nodes[:, 24:48] = box_hi.transpose(0, 2, 1).reshape(W_n, 24)
-    nodes[:, 48:56] = topo.ptr.astype(np.float32)
-    nodes[:, 56] = topo.node_axis.astype(np.float32)
+    nodes[:, 0:3 * w] = box_lo.transpose(0, 2, 1).reshape(W_n, 3 * w)
+    nodes[:, 3 * w:6 * w] = box_hi.transpose(0, 2, 1).reshape(W_n, 3 * w)
+    nodes[:, 6 * w:7 * w] = topo.ptr.astype(np.float32)
+    nodes[:, 7 * w] = topo.node_axis.astype(np.float32)
 
     leaves = np.zeros((max(L, 1), 128), np.float32)
     leaves[:, 72:80] = -1.0
     if L:
-        data = np.zeros((L, 9, WIDTH), np.float32)
+        data = np.zeros((L, 9, LEAF_CAP), np.float32)
         data[:, 0:3, :cap] = v[:, :, 0].transpose(0, 2, 1)
         data[:, 3:6, :cap] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
         data[:, 6:9, :cap] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
@@ -154,7 +167,8 @@ def plan_treelets(ptr: np.ndarray, max_rows: int | None = None) -> np.ndarray:
 
 
 def _treelet_boxes(roots: np.ndarray, nodes: np.ndarray,
-                   leaves: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                   leaves: np.ndarray, w: int = WIDTH
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """AABB per treelet root, from the assembled rows: a node treelet's box
     is the union of its row's occupied child-slot boxes; a leaf treelet's
     box bounds its triangles. Recomputed on every refit (geometry moves)."""
@@ -164,9 +178,9 @@ def _treelet_boxes(roots: np.ndarray, nodes: np.ndarray,
     is_node = roots >= 0
     if is_node.any():
         rows = nodes[roots[is_node].astype(np.int64)]
-        slot_lo = rows[:, 0:24].reshape(-1, 3, WIDTH)
-        slot_hi = rows[:, 24:48].reshape(-1, 3, WIDTH)
-        used = (rows[:, 48:56] != -1.0)[:, None, :]
+        slot_lo = rows[:, 0:3 * w].reshape(-1, 3, w)
+        slot_hi = rows[:, 3 * w:6 * w].reshape(-1, 3, w)
+        used = (rows[:, 6 * w:7 * w] != -1.0)[:, None, :]
         nlo = np.where(used, slot_lo, np.inf).min(axis=2)
         nhi = np.where(used, slot_hi, -np.inf).max(axis=2)
         ok = np.isfinite(nlo).all(axis=1, keepdims=True)
@@ -175,7 +189,7 @@ def _treelet_boxes(roots: np.ndarray, nodes: np.ndarray,
     is_leaf = ~is_node
     if is_leaf.any():
         lrows = leaves[(-2 - roots[is_leaf]).astype(np.int64)]
-        data = lrows[:, 0:72].reshape(-1, 9, WIDTH)
+        data = lrows[:, 0:72].reshape(-1, 9, LEAF_CAP)
         v0 = data[:, 0:3]
         pts = np.stack([v0, v0 + data[:, 3:6], v0 + data[:, 6:9]], axis=0)
         occ = (lrows[:, 72:80] >= 0.0)[None, :, None, :]
@@ -198,7 +212,8 @@ def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
     bounds = np.stack(
         [tri_verts.min(axis=(0, 1)), tri_verts.max(axis=(0, 1))]
     ).astype(np.float32)
-    t_lo, t_hi = _treelet_boxes(topo.treelet_roots, nodes, leaves)
+    t_lo, t_hi = _treelet_boxes(topo.treelet_roots, nodes, leaves,
+                                topo.width)
     return WideBVH(
         nodes=jnp.asarray(nodes),
         leaves=jnp.asarray(leaves),
@@ -207,6 +222,7 @@ def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
         t_roots=jnp.asarray(topo.treelet_roots.astype(np.int32)),
         t_lo=jnp.asarray(t_lo),
         t_hi=jnp.asarray(t_hi),
+        width_token=jnp.zeros((topo.width,), jnp.uint8),
         num_nodes=len(nodes),
         num_leaves=len(leaves),
         num_tris=len(tri_verts),
@@ -241,6 +257,9 @@ class WideBVH(NamedTuple):
     t_roots: jnp.ndarray  # [K] i32
     t_lo: jnp.ndarray  # [K, 3] f32
     t_hi: jnp.ndarray  # [K, 3] f32
+    # [width] u8 zeros: internal-node arity (8 or 16), shape-encoded like
+    # depth_token so traversal kernels specialize statically under jit
+    width_token: jnp.ndarray
     num_nodes: int
     num_leaves: int
     num_tris: int
@@ -250,16 +269,23 @@ class WideBVH(NamedTuple):
         return self.depth_token.shape[0]
 
     @property
+    def width(self) -> int:
+        return self.width_token.shape[0]
+
+    @property
     def max_stack(self) -> int:
-        return (WIDTH - 1) * self.max_depth + 1
+        return (self.width - 1) * self.max_depth + 1
 
 
 def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
-               leaf_cap: int = LEAF_CAP, with_topology: bool = False):
+               leaf_cap: int = LEAF_CAP, with_topology: bool = False,
+               width: int = WIDTH):
     """tri_verts: [T, 3, 3] world space. leaf_cap <= 8 bounds triangles per
     fat leaf (rows keep the 8-slot layout; unused slots are zeroed).
+    width = children per internal node (8 or 16; see WIDTH_WIDE).
     with_topology=True also returns the WideTopology for later refits."""
     assert 1 <= leaf_cap <= 8
+    assert width in (WIDTH, WIDTH_WIDE)
     tri_verts = np.asarray(tri_verts, np.float32)
     T = len(tri_verts)
     if binary is None:
@@ -294,14 +320,14 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     # --- breadth-first expansion over flat frontiers ---
     # slots[f, j] = binary node id or -1
     EMPTY = np.int64(-1)
-    frontier = np.asarray([[0] + [-1] * (WIDTH - 1)], np.int64)
+    frontier = np.asarray([[0] + [-1] * (width - 1)], np.int64)
 
     all_rows = []  # (slots [F,8]) per level
 
     while len(frontier):
         slots = frontier.copy()
         # expand: repeatedly split the largest splittable slot per row
-        for _ in range(WIDTH - 1):
+        for _ in range(width - 1):
             valid = slots >= 0
             cnt = np.where(valid, counts[np.clip(slots, 0, M - 1)], -1)
             splittable = valid & ~is_leaf[np.clip(slots, 0, M - 1)] & (cnt > leaf_cap)
@@ -329,10 +355,10 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
         frontier = (
             np.concatenate(
                 [next_nodes[:, None],
-                 np.full((len(next_nodes), WIDTH - 1), EMPTY)], axis=1
+                 np.full((len(next_nodes), width - 1), EMPTY)], axis=1
             )
             if len(next_nodes)
-            else np.zeros((0, WIDTH), np.int64)
+            else np.zeros((0, width), np.int64)
         )
 
     slots_all = np.concatenate(all_rows, axis=0)  # [W, 8] binary ids
@@ -345,7 +371,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     # wide-node ids for internal children: they are exactly the next-level
     # frontier rows, laid out in row-major traversal order of child_internal
     internal_order = np.cumsum(child_internal.reshape(-1)) - 1
-    internal_order = internal_order.reshape(W, WIDTH)
+    internal_order = internal_order.reshape(W, width)
     level_sizes = [len(r) for r in all_rows]
     level_of_row = np.repeat(np.arange(len(all_rows)), level_sizes)
     next_base = np.cumsum(level_sizes)
@@ -369,10 +395,10 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     # near-full rows directly cut leaf ALU (~1.5x on median scenes). A
     # bin's triangles need not be a contiguous binary range — leaf boxes
     # are computed from the triangles themselves in assemble_rows. ---
-    int_ids = np.full((W, WIDTH), -1, np.int64)
-    ptr = np.full((W, WIDTH), -1, np.int64)
+    int_ids = np.full((W, width), -1, np.int64)
+    ptr = np.full((W, width), -1, np.int64)
     orig_rows: list[np.ndarray] = []
-    cent = np.zeros((W, WIDTH, 3), np.float64)
+    cent = np.zeros((W, width, 3), np.float64)
     with np.errstate(invalid="ignore"):
         # padded binary nodes carry +/-inf boxes; their centroids are
         # never read (they back no slot)
@@ -382,13 +408,13 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
 
     for r in range(W):
         col = 0
-        for j in range(WIDTH):
+        for j in range(width):
             if child_internal[r, j]:
                 int_ids[r, col] = slots_all[r, j]
                 ptr[r, col] = child_wide_id[r, j]
                 cent[r, col] = b_cent[slots_all[r, j]]
                 col += 1
-        js = [j for j in range(WIDTH) if child_leaf[r, j]]
+        js = [j for j in range(width) if child_leaf[r, j]]
         if js:
             items = sorted(js, key=lambda j: -counts[slots_all[r, j]])
             bins: list[list[int]] = []
@@ -449,7 +475,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
         int_ids=int_ids, ptr=ptr, node_axis=node_axis,
         orig=orig, in_range=in_range,
         n_levels=max(len(all_rows), 1), leaf_cap=leaf_cap,
-        treelet_roots=plan_treelets(ptr),
+        treelet_roots=plan_treelets(ptr), width=width,
     )
     wbvh = refit_wide(topo, b_min, b_max, tri_verts)
     return (wbvh, topo) if with_topology else wbvh

@@ -36,6 +36,7 @@ stage, and a rebuild reuses everything clean —
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import NamedTuple, Optional
 
@@ -352,9 +353,17 @@ class World:
         else:
             bvh = lbvh.build(verts, as_numpy=True)
         # small scenes traverse from VMEM, big ones stream rows from HBM —
-        # the dispatch in integrator.path picks per scene size
+        # the dispatch in integrator.path picks per scene size. HBM-bound
+        # scenes (the kernel there is bound by per-visit fixed work) use
+        # 16-wide internal nodes to halve internal visits; override with
+        # MSN_WIDE=8|16 for A/B runs.
+        width = wide_bvh.WIDTH_WIDE if T > 100_000 else wide_bvh.WIDTH
+        env_w = os.environ.get("MSN_WIDE")
+        if env_w in ("8", "16"):
+            width = int(env_w)
         wide, wide_topo = wide_bvh.build_wide(verts, binary=bvh,
-                                              with_topology=True)
+                                              with_topology=True,
+                                              width=width)
         order = np.asarray(bvh.tri_order)
         inv_order = np.empty(T, np.int64)
         inv_order[order] = np.arange(T)

@@ -7,6 +7,13 @@ within 15% of the 512^2 rate — i.e. the old >1M-lane XLA scheduling
 cliff (>10x collapse) is gone.
 """
 
+import os as _os
+import pathlib as _pl
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(_pl.Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+
 import json
 import pathlib
 import sys

@@ -8,6 +8,13 @@ Usage: python scripts/bench_ladder.py [--quick] [--full] [--only RUNG]
   --only   run a single rung by name (A/B runs)
 """
 
+import os as _os
+import pathlib as _pl
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(_pl.Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+
 import argparse
 import json
 import sys

@@ -12,6 +12,13 @@ This script validates that machinery on the attached chip:
 Prints one PASS/FAIL line per check; exits nonzero on any failure.
 """
 
+import os as _os
+import pathlib as _pl
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(_pl.Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+
 import pathlib
 import sys
 
@@ -71,6 +78,19 @@ def main():
     check("hbm kernel vs vmem kernel (any hit)",
           bool((occ_vm == occ_hb).all()),
           f"occluded={int(occ_vm.sum())}/{N}")
+
+    # 16-wide internal nodes: same tree content, wider arity — must agree
+    # with the 8-wide kernels bit-for-bit through both residency modes
+    w16 = wide_bvh.build_wide(verts, binary=binary, width=16)
+    vm16 = packet.closest_hit_packet(w16, o, d, INF_T)
+    ok16 = np.allclose(np.asarray(vm.t), np.asarray(vm16.t)) and bool(
+        (np.asarray(vm.tri) == np.asarray(vm16.tri)).all())
+    check("16-wide vmem vs 8-wide vmem (closest)", ok16)
+    hb16 = packet.closest_hit_packet_hbm(w16, o, d, INF_T)
+    ok16h = np.allclose(np.asarray(vm.t), np.asarray(hb16.t))
+    check("16-wide hbm vs 8-wide vmem (closest)", ok16h)
+    occ16 = np.asarray(packet.any_hit_packet_hbm(w16, o, d, 8.0))
+    check("16-wide hbm vs 8-wide (any hit)", bool((occ_vm == occ16).all()))
 
     # resort bit-identity on a real render
     from moonshine_tpu.integrator import PathConfig
