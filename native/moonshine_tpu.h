@@ -116,7 +116,11 @@ void MsnSetLens(MsnEngine *, MsnLensHandle, MsnLens);
 int MsnExrWrite(const char *path, const float *rgb, uint32_t width,
                 uint32_t height, uint32_t channels);
 
-/* Loads an EXR (NONE/ZIP/ZIPS, half/float) as RGBA float32. The returned
+/* Like MsnExrWrite with an explicit compression: 3 = ZIP, 4 = PIZ. */
+int MsnExrWrite2(const char *path, const float *rgb, uint32_t width,
+                 uint32_t height, uint32_t channels, uint32_t compression);
+
+/* Loads an EXR (NONE/RLE/ZIPS/ZIP/PIZ, half/float) as RGBA float32. The
  * buffer is malloc'd; caller frees with MsnExrFree. Returns 0 on success. */
 int MsnExrRead(const char *path, float **out_rgba, uint32_t *out_width,
                uint32_t *out_height);

@@ -30,10 +30,11 @@ except Exception:
 
 class TestPizRle:
     """PIZ (wavelet + Huffman) and RLE, implemented from the OpenEXR spec
-    (ImfPizCompressor / ImfHuf / ImfWav / ImfRle). No OpenEXR tooling
-    exists in this environment (cv2 built without EXR), so validation is
-    bit-exact self round-trip across shapes/dtypes plus the spec-pinned
-    sub-algorithms; TestCrossValidation covers external readers when
+    (ImfPizCompressor / ImfHuf / ImfWav / ImfRle). Beyond the bit-exact
+    self round-trips here, PIZ and RLE are cross-validated against the
+    independent C++ implementation in native/exr_codec.cpp — both
+    directions, bit-exact (tests/test_native.py TestPizCrossValidation);
+    TestCrossValidation additionally covers external readers when
     available."""
 
     @pytest.mark.parametrize("compression", [exr.RLE, exr.PIZ])
