@@ -85,7 +85,21 @@ class Engine:
         self._scene = None
         self._dirty = True
         self._pending_rays: list = []  # device counters from wait=False frames
+        self._mesh = None  # multi-chip device mesh (set_mesh)
         self.metrics: dict = {"renders": 0, "rays": 0.0, "render_seconds": 0.0}
+
+    def set_mesh(self, mesh_or_spec) -> None:
+        """Enable multi-chip rendering: a jax.sharding.Mesh from
+        parallel.make_mesh, or a spec string ('auto' / 'SP,DP'). Frames
+        whose height divides by dp and spp by sp render via
+        parallel.render_sharded; others fall back to single-device.
+        None disables."""
+        if isinstance(mesh_or_spec, str):
+            from ..parallel import mesh_from_spec
+
+            mesh_or_spec = mesh_from_spec(mesh_or_spec)
+        with self._lock:
+            self._mesh = mesh_or_spec
 
     # --- images (TextureManager surface: moonshine.h CreateSolidTexture*/CreateRawTexture) ---
 
@@ -314,17 +328,35 @@ class Engine:
                 gen = self._sensor_gen.get(sensor, 0)
                 lens_arrays = LensArrays.from_lens(self.lenses[lens])
                 cfg = self.config
+            with self._lock:
+                mesh = self._mesh
             h, w = s.image.shape[:2]
             t0 = time.perf_counter()
             rays_parts = []
-            for _ in range(spp):
-                img, rays = render_sample(
-                    scene, lens_arrays, h, w, s.sample_count, cfg,
+            use_mesh = (
+                mesh is not None
+                and h % mesh.shape["dp"] == 0
+                and spp % mesh.shape["sp"] == 0
+            )
+            if use_mesh:
+                from ..parallel import render_sharded
+
+                img, rays = render_sharded(
+                    scene, lens_arrays, h, w, spp, cfg, mesh,
                     # hydra disables the y-flip (hydra.zig:95-105)
-                    False,
+                    flip_image=False, base_sample=s.sample_count,
                 )
-                s = accumulate(s, img, 1)
+                # render_sharded returns the spp-mean; accumulate takes sums
+                s = accumulate(s, img * spp, spp)
                 rays_parts.append(rays)
+            else:
+                for _ in range(spp):
+                    img, rays = render_sample(
+                        scene, lens_arrays, h, w, s.sample_count, cfg,
+                        False,
+                    )
+                    s = accumulate(s, img, 1)
+                    rays_parts.append(rays)
             if not wait:
                 # no host sync at all — even reading the ray counter would
                 # block on the dispatched computation

@@ -1,1 +1,1 @@
-from .sharding import make_mesh, render_sharded  # noqa: F401
+from .sharding import make_mesh, mesh_from_spec, render_sharded  # noqa: F401

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core import rng as R
-from ..integrator.path import PathConfig, trace_paths
+from ..integrator.path import PathConfig, trace_paths, trace_paths_staged
 from ..render.camera import LensArrays, generate_rays, pixel_uv
 
 
@@ -41,11 +41,35 @@ def make_mesh(devices=None, sp: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices)[: sp * dp].reshape(sp, dp), ("sp", "dp"))
 
 
+def mesh_from_spec(spec: str) -> Mesh:
+    """Mesh from a CLI-style spec: 'auto' (all devices, sp=2 when even) or
+    'SP,DP' (e.g. '2,4'). The frontends' entry to multi-chip rendering."""
+    if spec == "auto":
+        return make_mesh()
+    parts = spec.split(",")
+    if len(parts) != 2:
+        raise ValueError(f"mesh spec must be 'auto' or 'SP,DP', got {spec!r}")
+    sp, dp = int(parts[0]), int(parts[1])
+    devices = jax.devices()
+    if sp * dp > len(devices):
+        raise ValueError(
+            f"mesh {sp}x{dp} needs {sp * dp} devices, have {len(devices)}")
+    return make_mesh(devices[: sp * dp], sp=sp)
+
+
 def render_sharded(scene, lens: LensArrays, height: int, width: int,
                    spp: int, cfg: PathConfig, mesh: Mesh,
-                   flip_image: bool = True, base_sample: int = 0):
+                   flip_image: bool = True, base_sample: int = 0,
+                   staged: bool | None = None):
     """Render spp samples over the mesh; returns ([H, W, 3] mean image,
-    rays traced). height % dp == 0 and spp % sp == 0 required."""
+    rays traced). height % dp == 0 and spp % sp == 0 required.
+
+    staged: use the per-bounce staged integrator (trace_paths_staged)
+    inside each shard instead of the fused bounce graph. Default: staged
+    when a device's local dispatch exceeds the fused-path lane ceiling
+    (renderer.MAX_LANES) — the same large-frame switch the single-device
+    renderer makes, so a 1080p frame sharded 2 ways composes with the
+    staged path instead of hitting the >1M-lane XLA cliff."""
     sp = mesh.shape["sp"]
     dp = mesh.shape["dp"]
     if height % dp or spp % sp:
@@ -55,6 +79,10 @@ def render_sharded(scene, lens: LensArrays, height: int, width: int,
         )
     rows = height // dp
     local_spp = spp // sp
+    if staged is None:
+        from ..render.renderer import MAX_LANES
+        staged = rows * width > MAX_LANES
+    trace = trace_paths_staged if staged else trace_paths
 
     @partial(
         shard_map,
@@ -89,7 +117,7 @@ def render_sharded(scene, lens: LensArrays, height: int, width: int,
             uv = pixel_uv(px, py, width, height, jitter, flip_image)
             rng, ap = R.next_float2(rng)
             o, d = generate_rays(lens, width, height, uv, ap)
-            radiance, rng, rays = trace_paths(scene, o, d, rng, cfg)
+            radiance, rng, rays = trace(scene, o, d, rng, cfg)
             acc = acc + radiance.reshape(rows, width, 3)
             rays_total = rays_total + rays
 

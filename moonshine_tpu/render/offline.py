@@ -48,6 +48,12 @@ def main(argv=None) -> int:
     p.add_argument("--max-bounces", type=int, default=1024)
     p.add_argument("--env-samples", type=int, default=1)
     p.add_argument("--mesh-samples", type=int, default=1)
+    p.add_argument(
+        "--mesh", default=None, metavar="SP,DP",
+        help="render on a multi-chip device mesh: 'auto' (all devices) or "
+             "'SP,DP' sample/row shard counts (e.g. '2,4'); height must "
+             "divide by DP and spp by SP",
+    )
     args = p.parse_args(argv)
 
     timer = IntervalLogger()
@@ -66,13 +72,28 @@ def main(argv=None) -> int:
         env_samples_per_bounce=args.env_samples,
         mesh_samples_per_bounce=args.mesh_samples,
     )
-    sensor, rays = render(
-        scene, lens, args.height, args.width, spp=args.spp, cfg=cfg
-    )
-    np.asarray(sensor.image)  # block until device work completes
-    timer.log(f"render {args.spp} spp ({rays/1e6:.1f} Mrays)")
+    if args.mesh:
+        from ..parallel import mesh_from_spec, render_sharded
+        from .camera import LensArrays
 
-    write_exr(args.out, np.asarray(sensor.image))
+        mesh = mesh_from_spec(args.mesh)
+        image, rays = render_sharded(
+            scene, LensArrays.from_lens(lens), args.height, args.width,
+            args.spp, cfg, mesh,
+        )
+        image = np.asarray(image)
+        timer.log(
+            f"render {args.spp} spp on mesh sp={mesh.shape['sp']} "
+            f"dp={mesh.shape['dp']} ({float(rays)/1e6:.1f} Mrays)"
+        )
+    else:
+        sensor, rays = render(
+            scene, lens, args.height, args.width, spp=args.spp, cfg=cfg
+        )
+        image = np.asarray(sensor.image)  # blocks until device work completes
+        timer.log(f"render {args.spp} spp ({rays/1e6:.1f} Mrays)")
+
+    write_exr(args.out, image)
     timer.log("write exr")
     return 0
 
