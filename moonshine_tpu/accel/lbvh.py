@@ -388,12 +388,109 @@ def _half_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return np.where((e >= 0).all(axis=-1), a, 0.0)
 
 
+def _clip_tri_aabb(v, axis, p, left):
+    """AABB of each triangle clipped to the half-space (coord <= p[k] when
+    left else >= p[k]) along `axis`. v: [K, 3, 3], p: [K]. Returns
+    (lo, hi) [K, 3]; inverted boxes mean the triangle misses that side."""
+    K = len(v)
+    d = v[:, :, axis] - p[:, None]  # [K, 3] signed vertex/plane distance
+    inside = (d <= 0) if left else (d >= 0)
+    # candidate points: the vertices on the kept side + the three
+    # edge/plane crossings (computed unconditionally, masked by validity)
+    pts = np.empty((K, 6, 3), np.float64)
+    ok = np.empty((K, 6), bool)
+    pts[:, 0:3] = v
+    ok[:, 0:3] = inside
+    for e, (i, j) in enumerate(((0, 1), (1, 2), (2, 0))):
+        di, dj = d[:, i], d[:, j]
+        cross = (di * dj) < 0
+        t = np.where(cross, di / np.where(di == dj, 1.0, di - dj), 0.0)
+        pts[:, 3 + e] = v[:, i] + t[:, None] * (v[:, j] - v[:, i])
+        ok[:, 3 + e] = cross
+    okk = ok[:, :, None]
+    lo = np.where(okk, pts, np.inf).min(axis=1)
+    hi = np.where(okk, pts, -np.inf).max(axis=1)
+    return lo, hi
+
+
+def presplit_refs(tri_verts: np.ndarray, max_refs_factor: float = 1.35,
+                  area_factor: float = 8.0, rounds: int = 16):
+    """SBVH-style pre-splitting: triangles whose AABB half-area is far
+    above the median are split into multiple *references* — (tri id,
+    clipped sub-box) pairs — so the builder can carve tight boxes around
+    large wall/floor triangles instead of leaves that span the scene.
+    The traversal still intersects the FULL triangle at every reference
+    (exact t/u/v; a hit found from a sibling reference's leaf is a valid
+    hit), so duplicated references affect performance only, never results
+    — the classic spatial-split correctness argument (Stich et al., SBVH).
+
+    Returns (ref_tri [R] i64, ref_lo [R,3] f32, ref_hi [R,3] f32); R is
+    bounded by T * max_refs_factor. Reference bar: the driver-quality AS
+    builds behind /root/reference/engine/hrtsystem/Accel.zig:94-184.
+    """
+    tri_verts = np.asarray(tri_verts, np.float32)
+    T = len(tri_verts)
+    ref_tri = np.arange(T, dtype=np.int64)
+    ref_lo = tri_verts.min(axis=1).astype(np.float64)
+    ref_hi = tri_verts.max(axis=1).astype(np.float64)
+    budget = int(T * max_refs_factor)
+    for _ in range(rounds):
+        free = budget - len(ref_tri)
+        if free <= 0:
+            break
+        area = _half_area(ref_lo, ref_hi)
+        thresh = max(float(np.median(area)) * area_factor, 1e-30)
+        cand = np.flatnonzero(area > thresh)
+        if len(cand) == 0:
+            break
+        if len(cand) > free:
+            cand = cand[np.argsort(area[cand])[::-1][:free]]
+        v = tri_verts[ref_tri[cand]].astype(np.float64)
+        ext = ref_hi[cand] - ref_lo[cand]
+        axis = ext.argmax(axis=1)
+        p = (ref_lo[cand] + ref_hi[cand])[np.arange(len(cand)), axis] * 0.5
+        # per-axis groups, vectorized clips with per-ref planes
+        l_lo = np.empty_like(ref_lo[cand])
+        l_hi = np.empty_like(l_lo)
+        r_lo = np.empty_like(l_lo)
+        r_hi = np.empty_like(l_lo)
+        for a in range(3):
+            g = np.flatnonzero(axis == a)
+            if not len(g):
+                continue
+            l_lo[g], l_hi[g] = _clip_tri_aabb(v[g], a, p[g], True)
+            r_lo[g], r_hi[g] = _clip_tri_aabb(v[g], a, p[g], False)
+        # intersect with the parent reference box (second-generation
+        # splits must stay inside their region) and cap at the plane
+        sel = np.arange(len(cand))
+        l_lo = np.maximum(l_lo, ref_lo[cand])
+        l_hi = np.minimum(l_hi, ref_hi[cand])
+        l_hi[sel, axis] = np.minimum(l_hi[sel, axis], p)
+        r_lo = np.maximum(r_lo, ref_lo[cand])
+        r_hi = np.minimum(r_hi, ref_hi[cand])
+        r_lo[sel, axis] = np.maximum(r_lo[sel, axis], p)
+        ok_l = (l_lo <= l_hi).all(axis=1)
+        ok_r = (r_lo <= r_hi).all(axis=1)
+        both = ok_l & ok_r
+        if not both.any():
+            break
+        c2 = cand[both]
+        # parent slot becomes the left child; right child appended
+        ref_lo[c2] = l_lo[both]
+        ref_hi[c2] = l_hi[both]
+        ref_tri = np.concatenate([ref_tri, ref_tri[c2]])
+        ref_lo = np.concatenate([ref_lo, r_lo[both]])
+        ref_hi = np.concatenate([ref_hi, r_hi[both]])
+    return (ref_tri, ref_lo.astype(np.float32), ref_hi.astype(np.float32))
+
+
 def build_sah(
     tri_verts: np.ndarray,
     leaf_size: int = 4,
     n_bins: int = 16,
     pad_nodes_to_pow2: bool = True,
     as_numpy: bool = False,
+    refs=None,
 ) -> BVH:
     """Top-down binned-SAH BVH (same flattened layout as `build`).
 
@@ -405,18 +502,35 @@ def build_sah(
     build is a few seconds of numpy. Tree quality is the classic 1.5-3x
     traversal win over LBVH on incoherent rays; the driver hardware the
     reference delegates to (Accel.zig:94-184) builds SAH-quality trees too.
+
+    refs: optional (ref_tri, ref_lo, ref_hi) from presplit_refs — the
+    build then partitions spatial-split REFERENCES (tight clipped boxes,
+    possibly several per triangle). The returned BVH's tri_order maps
+    sorted positions to original triangle ids (duplicates allowed; leaf
+    code intersects full triangles, so results are identical), and the
+    function returns (bvh, clip_lo_sorted, clip_hi_sorted) so the wide
+    collapse can carve leaf boxes from the clipped reference boxes.
     """
     tri_verts = np.asarray(tri_verts, np.float32)
-    T = len(tri_verts)
+    if refs is not None:
+        ref_tri, ref_lo, ref_hi = refs
+        cent = ((ref_lo + ref_hi) * 0.5).astype(np.float64)
+        tmin = ref_lo.astype(np.float64)
+        tmax = ref_hi.astype(np.float64)
+        T = len(ref_tri)
+    else:
+        T = len(tri_verts)
+        if T:
+            cent = tri_verts.mean(axis=1).astype(np.float64)
+            tmin = tri_verts.min(axis=1).astype(np.float64)
+            tmax = tri_verts.max(axis=1).astype(np.float64)
     if T == 0:
         raise ValueError("cannot build a BVH over zero triangles")
     if T <= leaf_size:
+        assert refs is None, "presplit scenes are never this small"
         return _single_leaf_bvh(tri_verts, np.arange(T, dtype=np.int64),
                                 pad_nodes_to_pow2, T, as_numpy=as_numpy)
 
-    cent = tri_verts.mean(axis=1).astype(np.float64)
-    tmin = tri_verts.min(axis=1).astype(np.float64)
-    tmax = tri_verts.max(axis=1).astype(np.float64)
     order = np.arange(T, dtype=np.int64)
 
     # emitted nodes (root = 0): ranges + children; leaves resolved at the end
@@ -530,6 +644,15 @@ def build_sah(
     child_right = np.full(n_nodes, -1, np.int64)
     child_left[np.concatenate(link_parent)] = np.concatenate(link_left)
     child_right[np.concatenate(link_parent)] = np.concatenate(link_right)
+    if refs is not None:
+        bvh = _finalize_topdown(
+            tri_verts, ref_tri[order], node_lo, node_len, child_left,
+            child_right, 2 * n_levels + 6, pad_nodes_to_pow2, as_numpy,
+            item_min=tmin[order].astype(np.float32),
+            item_max=tmax[order].astype(np.float32),
+        )
+        return bvh, tmin[order].astype(np.float32), \
+            tmax[order].astype(np.float32)
     return _finalize_topdown(
         tri_verts, order, node_lo, node_len, child_left, child_right,
         2 * n_levels + 6, pad_nodes_to_pow2, as_numpy,
@@ -538,7 +661,7 @@ def build_sah(
 
 def _finalize_topdown(tri_verts, order, node_lo, node_len, child_left,
                       child_right, depth_bound, pad_nodes_to_pow2,
-                      as_numpy=False):
+                      as_numpy=False, item_min=None, item_max=None):
     """Escape links, parent links, AABBs, and array compaction for a
     top-down tree over contiguous ranges of `order`.
 
@@ -568,10 +691,16 @@ def _finalize_topdown(tri_verts, order, node_lo, node_len, child_left,
     assert not (escape == -2).any(), "escape propagation did not converge"
 
     # AABBs straight from ranges (every node covers order[lo:lo+len)),
-    # chunked so the member scratch stays bounded
-    sorted_verts = tri_verts[order]
-    tri_min = sorted_verts.min(axis=1)
-    tri_max = sorted_verts.max(axis=1)
+    # chunked so the member scratch stays bounded. item_min/item_max
+    # (already in sorted order) override per-item boxes — the spatial-split
+    # path carves node boxes from clipped reference boxes, not full
+    # triangles.
+    if item_min is not None:
+        tri_min, tri_max = item_min, item_max
+    else:
+        sorted_verts = tri_verts[order]
+        tri_min = sorted_verts.min(axis=1)
+        tri_max = sorted_verts.max(axis=1)
     aabb_min = np.empty((M0, 3), np.float32)
     aabb_max = np.empty((M0, 3), np.float32)
     for i_grp in range(0, M0, 1 << 16):
@@ -602,8 +731,11 @@ def _finalize_topdown(tri_verts, order, node_lo, node_len, child_left,
             escape = np.pad(escape, (0, pad), constant_values=SENTINEL)
             parent = np.pad(parent, (0, pad), constant_values=-1)
 
+    # num_tris is the SORTED length (spatial splits duplicate references,
+    # so it can exceed the original triangle count): traversal clips
+    # sorted positions against it (traverse.py), never original ids
     return _to_bvh(aabb_min, aabb_max, node_left, node_count, escape,
-                   order, M, len(tri_verts), parent, as_numpy)
+                   order, M, len(order), parent, as_numpy)
 
 
 def _single_leaf_bvh(tri_verts, order, pad, count=None, as_numpy=False):

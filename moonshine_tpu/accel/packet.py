@@ -189,7 +189,7 @@ def _load_rays(refs):
 
 
 def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
-                 width: int = WIDTH):
+                 width: int = WIDTH, leaf_slots: int = LEAF_CAP):
     """One traversal kernel. dma_rows=True (all real-TPU dispatches, both
     VMEM- and HBM-resident scenes): visited rows are DMA'd into SMEM
     double buffers with next-pop prefetch — every consumer of a row is a
@@ -197,6 +197,8 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
     each, so staging the row in SMEM makes the ~60 per-visit reads cheap.
     dma_rows=False (interpret mode / CPU tests): direct array reads.
     count_visits adds a per-block visit-count output (profiling only)."""
+    node_multirow = 7 * width + 1 > 128
+    leaf_multirow = 10 * leaf_slots > 128
 
     def kernel(nodes_ref, leaves_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
@@ -249,6 +251,15 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
         # pushes never write below the popped slot, so the prediction
         # source is stable. At most one copy per buffer is in flight;
         # waits reconstruct the copy from the recorded node id.
+        # (Round 4 measured-and-rejected: a 4-deep stack-slot prefetch
+        # ring + a speculative near-child buffer — every row fetched at
+        # push time and the likely first child at row-arrival time — is
+        # a consistent ~40% LOSS end-to-end: the kernel is bound by the
+        # scalar instruction stream, and the ring's per-visit state
+        # bookkeeping (~50 extra scalar ops) costs more than the fetch
+        # latency it hides. VMEM-resident vs HBM-streamed scenes measure
+        # identical at equal block size, so fetch latency was already
+        # hidden well enough by this two-buffer scheme.)
         def fetch_start(buf, node):
             @pl.when(node >= 0)
             def _():
@@ -319,14 +330,26 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
             else:
                 prune = t_ref[0]
 
+            # records wider than 128 words are [n, rows, 128]; col is
+            # always static, so the //128 split folds at trace time
             def nrow(col):
                 if dma_rows:
+                    if node_multirow:
+                        return node_buf[cur, col // 128, col % 128]
                     return node_buf[cur, col]
+                if node_multirow:
+                    return nodes_ref[jnp.maximum(node, 0),
+                                     col // 128, col % 128]
                 return nodes_ref[jnp.maximum(node, 0), col]
 
             def lrow(col):
                 if dma_rows:
+                    if leaf_multirow:
+                        return leaf_buf[cur, col // 128, col % 128]
                     return leaf_buf[cur, col]
+                if leaf_multirow:
+                    return leaves_ref[jnp.maximum(-2 - node, 0),
+                                      col // 128, col % 128]
                 return leaves_ref[jnp.maximum(-2 - node, 0), col]
 
             def internal(top):
@@ -338,6 +361,14 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                           for j in range(width)]
                 child_all = [nrow(6 * width + j).astype(jnp.int32)
                              for j in range(width)]
+                # children are build-sorted ascending along the node's
+                # dominant axis (col 7w); used for the near-child guess
+                # here and far-to-near push order below
+                axis = nrow(7 * width)
+                fwd = jax.lax.select(
+                    axis < 0.5, dir_sign[0],
+                    jax.lax.select(axis < 1.5, dir_sign[1], dir_sign[2]),
+                )
                 # hit masks per child slot. On real TPU (dma_rows) the 8
                 # masks pack into one int32 bitfield vector OR-folded
                 # across sublanes with static-slice tree steps (Mosaic has
@@ -372,15 +403,20 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                         hit = hit & live
                     child_hits.append(hit)
                 if dma_rows:
+                    # i32-wrapped bit masks: 1 << 31 overflows a python
+                    # int32 literal but the sign bit is a fine flag
+                    bitc = [(1 << j) - (1 << 32) if j == 31 else (1 << j)
+                            for j in range(width)]
                     packed = None
                     for j in range(width):
-                        bit = child_hits[j].astype(jnp.int32) * (1 << j)
+                        bit = jnp.where(child_hits[j], jnp.int32(bitc[j]),
+                                        jnp.int32(0))
                         packed = bit if packed is None else packed | bit
                     while packed.shape[0] > 1:
                         half = packed.shape[0] // 2
                         packed = packed[:half] | packed[half:]
                     hits = [
-                        jnp.any((packed & (1 << j)) != 0)
+                        jnp.any((packed & bitc[j]) != 0)
                         & (child_all[j] != -1)
                         for j in range(width)
                     ]
@@ -391,15 +427,8 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                     ]
                 base = top - 1
 
-                # children are build-sorted ascending along the node's
-                # dominant axis (col 56); push far-to-near so the LIFO pops
-                # near children first and t-pruning culls far subtrees
-                axis = nrow(7 * width)
-                fwd = jax.lax.select(
-                    axis < 0.5, dir_sign[0],
-                    jax.lax.select(axis < 1.5, dir_sign[1], dir_sign[2]),
-                )
-
+                # push far-to-near so the LIFO pops near children first
+                # and the per-lane t-prune culls far subtrees
                 def push_loop(idxs):
                     pushed = jnp.int32(0)
                     for j in idxs:
@@ -427,11 +456,11 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                     tri_best = tri_ref[0]
                     u_best = u_ref[0]
                     v_best = v_ref[0]
-                for j in range(LEAF_CAP):
-                    v0 = [lrow(c * 8 + j) for c in range(3)]
-                    e1 = [lrow(24 + c * 8 + j) for c in range(3)]
-                    e2 = [lrow(48 + c * 8 + j) for c in range(3)]
-                    tid = lrow(72 + j).astype(jnp.int32)
+                for j in range(leaf_slots):
+                    v0 = [lrow(c * leaf_slots + j) for c in range(3)]
+                    e1 = [lrow((3 + c) * leaf_slots + j) for c in range(3)]
+                    e2 = [lrow((6 + c) * leaf_slots + j) for c in range(3)]
+                    tid = lrow(9 * leaf_slots + j).astype(jnp.int32)
                     if any_hit:
                         valid = _moller_trumbore_anyhit(
                             v0, e1, e2, o, d, tmax
@@ -592,9 +621,16 @@ def _ray_spec_for(rows):
 
 
 def _scene_specs(wbvh: WideBVH, hbm: bool):
-    full = lambda arr: pl.BlockSpec(
-        arr.shape, lambda g: tuple(0 for _ in arr.shape),
-        memory_space=pltpu.VMEM,
+    # 256-word rows must stay HBM-resident: Mosaic tiles VMEM arrays
+    # (8,128), so a single-row slice of a 256-col VMEM array is not
+    # tile-aligned (HBM is tiled (1,128) — any 128-multiple row slices
+    # fine). Measured cost of HBM residency at equal block size: none —
+    # the two-visit prefetch hides the stream (profile_vmembudget.py).
+    full = lambda arr: (
+        pl.BlockSpec(arr.shape, lambda g: tuple(0 for _ in arr.shape),
+                     memory_space=pltpu.VMEM)
+        if arr.ndim == 2
+        else pl.BlockSpec(memory_space=pltpu.ANY)
     )
     if hbm:
         # hybrid residency: internal-node rows usually fit VMEM long
@@ -617,7 +653,9 @@ def _nodes_fit_vmem(wbvh: WideBVH) -> bool:
             <= NODES_VMEM_BUDGET_BYTES)
 
 
-def _scratch(hbm: bool, dma_rows: bool = True, any_hit: bool = False):
+def _scratch(hbm: bool, dma_rows: bool = True, any_hit: bool = False,
+             node_shape: tuple = (128,), leaf_shape: tuple = (128,)):
+    """node_shape/leaf_shape: per-record row shape ((128,) or (k, 128))."""
     depth = HBM_STACK_DEPTH if hbm else STACK_DEPTH
     stack = pltpu.SMEM((depth,), jnp.int32)
     if not dma_rows:
@@ -627,12 +665,23 @@ def _scratch(hbm: bool, dma_rows: bool = True, any_hit: bool = False):
         # row buffers live in SMEM: every consumer is a scalar read
         # (broadcast against ray vectors), and scalar loads from VMEM
         # pay a vreg-load + lane-extract each — SMEM reads are cheap
-        pltpu.SMEM((2, 128), jnp.float32),  # double-buffered node rows
-        pltpu.SMEM((2, 128), jnp.float32),  # double-buffered leaf rows
+        pltpu.SMEM((2,) + tuple(node_shape), jnp.float32),
+        pltpu.SMEM((2,) + tuple(leaf_shape), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         # [0] current buffer, [1] in-flight node id, [2] in-flight flag
         pltpu.SMEM((4,), jnp.int32),
     ]
+
+
+# probe hook (scripts/profile_leafslots.py): intersect only the first N
+# leaf slots per visit. None = all of the tree's leaf slots (production).
+_LEAF_SLOTS_OVERRIDE: int | None = None
+
+
+def _leaf_slots(wbvh) -> int:
+    if _LEAF_SLOTS_OVERRIDE is not None:
+        return _LEAF_SLOTS_OVERRIDE
+    return wbvh.leaf_slots
 
 
 def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
@@ -650,7 +699,9 @@ def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
     ]
     out_spec = _ray_spec_for(rows)
     out_specs = [out_spec] * 4
-    scratch = _scratch(hbm, dma_rows=not interpret)
+    scratch = _scratch(hbm, dma_rows=not interpret,
+                       node_shape=wbvh.nodes.shape[1:],
+                       leaf_shape=wbvh.leaves.shape[1:])
     if count_visits:
         out_shapes.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
@@ -658,7 +709,8 @@ def _closest_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
         scratch = scratch + [pltpu.SMEM((2,), jnp.int32)]
     out = pl.pallas_call(
         _make_kernel(any_hit=False, dma_rows=not interpret,
-                     count_visits=count_visits, width=wbvh.width),
+                     count_visits=count_visits, width=wbvh.width,
+                     leaf_slots=_leaf_slots(wbvh)),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
         out_specs=out_specs,
@@ -682,7 +734,9 @@ def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
     rays, G, pad, N = _prep_rays(ray_o, ray_d, t_max, active_in, block)
     out_shapes = [jax.ShapeDtypeStruct((G, rows, 128), jnp.int32)]
     out_specs = [_ray_spec_for(rows)]
-    scratch = _scratch(hbm, dma_rows=not interpret, any_hit=True)
+    scratch = _scratch(hbm, dma_rows=not interpret, any_hit=True,
+                       node_shape=wbvh.nodes.shape[1:],
+                       leaf_shape=wbvh.leaves.shape[1:])
     if count_visits:
         out_shapes.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
@@ -690,7 +744,8 @@ def _anyhit_impl(wbvh, ray_o, ray_d, t_max, active_in, interpret, hbm,
         scratch = scratch + [pltpu.SMEM((2,), jnp.int32)]
     out = pl.pallas_call(
         _make_kernel(any_hit=True, dma_rows=not interpret,
-                     count_visits=count_visits, width=wbvh.width),
+                     count_visits=count_visits, width=wbvh.width,
+                     leaf_slots=_leaf_slots(wbvh)),
         grid=(G,),
         in_specs=_scene_specs(wbvh, hbm) + [_ray_spec_for(rows)] * 7,
         out_specs=out_specs if count_visits else out_specs[0],

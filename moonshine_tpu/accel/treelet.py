@@ -59,11 +59,12 @@ MAX_KEYED = 512  # subkey space: 4^3 origin cells x 8 octants
 
 
 def available(wbvh: WideBVH) -> bool:
-    # the treelet kernel is written against the 8-wide node layout only
-    # (it's an opt-in experiment; see BASELINE.md round-3 rejections)
+    # the treelet kernel is written against the 8-wide node / 8-slot leaf
+    # layout only (it's an opt-in experiment; see BASELINE.md round-3
+    # rejections)
     return getattr(wbvh, "t_roots", None) is not None and (
         wbvh.t_roots.shape[0] >= 2
-    ) and wbvh.width == WIDTH
+    ) and wbvh.width == WIDTH and wbvh.leaf_slots == 8
 
 
 def _make_kernel(any_hit: bool, dma_rows: bool, K: int,

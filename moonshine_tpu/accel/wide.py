@@ -42,6 +42,28 @@ WIDTH = 8
 # HBM-resident scenes where the kernel is bound by per-visit fixed work.
 WIDTH_WIDE = 16
 
+# Round-4 finding (scripts/profile_leafslots.py): a leaf visit is ~90%
+# fixed cost (stack ops, DMA reconcile, loop control) and only ~10% the
+# 8-slot Moller-Trumbore vector ALU, and HBM streaming latency is fully
+# hidden by the two-visit prefetch (VMEM-resident vs HBM-streamed is a
+# wash at equal block size). So rows are packed FAT: storage/DMA
+# granularity is 128 f32 lanes (512 B — Mosaic tiles the minor dim to
+# 128), and one row = one visit, so the win is more payload per visit:
+#   * 12-slot leaves use 120/128 words of the single row (vs 80/128);
+#   * 16/24-slot leaves span a 256-word row (one (256,) DMA);
+#   * 24/32-wide nodes span a 256-word row (169/225 of 256 words).
+# Halving visit counts at ~2x vector work per visit is a direct win when
+# visits are fixed-cost-bound. All layouts stay comp-major with
+# stride = slot count; slot counts are shape-encoded on WideBVH.
+
+
+def _leaf_row_len(leaf_cap: int) -> int:
+    return 128 if leaf_cap * 10 <= 128 else 256
+
+
+def _node_row_len(width: int) -> int:
+    return 128 if 7 * width + 1 <= 128 else 256
+
 
 class WideTopology(NamedTuple):
     """Host-side (numpy) record of everything geometry-independent about a
@@ -73,23 +95,38 @@ class WideTopology(NamedTuple):
     # lo c*w+j | hi 3w+c*w+j | ptr 6w+j | axis 7w — identical to the
     # historical layout at w=8. Leaf rows are always 8-slot.
     width: int = WIDTH
+    # spatial-split (SBVH presplit) clipped reference boxes per leaf slot,
+    # [L, cap, 3] each, or None when the build had no presplit. Build-time
+    # leaf boxes come from these (tight); refits after motion fall back to
+    # full-triangle boxes (stale clips could uncover moved geometry).
+    clip_lo: np.ndarray | None = None
+    clip_hi: np.ndarray | None = None
 
 
 def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
-                  tri_verts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                  tri_verts: np.ndarray, use_clip: bool = False
+                  ) -> tuple[np.ndarray, np.ndarray]:
     """Node/leaf rows from frozen topology + current binary-node AABBs +
-    current triangle vertices. Pure numpy; called by build and refit."""
+    current triangle vertices. Pure numpy; called by build and refit.
+    use_clip=True (build time): leaf boxes from the spatial-split clipped
+    reference boxes when the topology carries them."""
     W_n = len(topo.ptr)
     cap = topo.leaf_cap
     L = len(topo.orig)
     w = topo.width
 
-    # leaf data + tight leaf boxes straight from the triangles
+    # leaf data + leaf boxes: tight clipped reference boxes at build time,
+    # full-triangle unions otherwise
     safe_orig = np.clip(topo.orig, 0, len(tri_verts) - 1)
-    v = tri_verts[safe_orig]  # [L, 8, 3, 3]
-    occ = topo.in_range[:, :, None, None]
-    vlo = np.where(occ, v, np.inf).min(axis=(1, 2))  # [L, 3]
-    vhi = np.where(occ, v, -np.inf).max(axis=(1, 2))
+    v = tri_verts[safe_orig]  # [L, cap, 3, 3]
+    if use_clip and topo.clip_lo is not None:
+        occ3 = topo.in_range[:, :, None]
+        vlo = np.where(occ3, topo.clip_lo, np.inf).min(axis=1)
+        vhi = np.where(occ3, topo.clip_hi, -np.inf).max(axis=1)
+    else:
+        occ = topo.in_range[:, :, None, None]
+        vlo = np.where(occ, v, np.inf).min(axis=(1, 2))  # [L, 3]
+        vhi = np.where(occ, v, -np.inf).max(axis=(1, 2))
     leaf_lo = np.where(np.isfinite(vlo), vlo, 0.0).astype(np.float32)
     leaf_hi = np.where(np.isfinite(vhi), vhi, 0.0).astype(np.float32)
 
@@ -105,25 +142,33 @@ def assemble_rows(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
     box_lo[is_leaf_slot] = leaf_lo[leaf_ids[is_leaf_slot]]
     box_hi[is_leaf_slot] = leaf_hi[leaf_ids[is_leaf_slot]]
 
-    nodes = np.zeros((W_n, 128), np.float32)
+    nodes = np.zeros((W_n, _node_row_len(w)), np.float32)
     nodes[:, 0:3 * w] = box_lo.transpose(0, 2, 1).reshape(W_n, 3 * w)
     nodes[:, 3 * w:6 * w] = box_hi.transpose(0, 2, 1).reshape(W_n, 3 * w)
     nodes[:, 6 * w:7 * w] = topo.ptr.astype(np.float32)
     nodes[:, 7 * w] = topo.node_axis.astype(np.float32)
 
-    leaves = np.zeros((max(L, 1), 128), np.float32)
-    leaves[:, 72:80] = -1.0
+    leaves = np.zeros((max(L, 1), _leaf_row_len(cap)), np.float32)
+    leaves[:, 9 * cap:10 * cap] = -1.0
     if L:
-        data = np.zeros((L, 9, LEAF_CAP), np.float32)
-        data[:, 0:3, :cap] = v[:, :, 0].transpose(0, 2, 1)
-        data[:, 3:6, :cap] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
-        data[:, 6:9, :cap] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
+        data = np.zeros((L, 9, cap), np.float32)
+        data[:, 0:3] = v[:, :, 0].transpose(0, 2, 1)
+        data[:, 3:6] = (v[:, :, 1] - v[:, :, 0]).transpose(0, 2, 1)
+        data[:, 6:9] = (v[:, :, 2] - v[:, :, 0]).transpose(0, 2, 1)
         # zero padding slots so degenerate tris never hit
-        data[:, :, :cap] *= topo.in_range[:, None, :]
-        leaves[:, 0:72] = data.reshape(L, 72)
-        leaves[:, 72 : 72 + cap] = np.where(
+        data *= topo.in_range[:, None, :]
+        leaves[:, 0:9 * cap] = data.reshape(L, 9 * cap)
+        leaves[:, 9 * cap:10 * cap] = np.where(
             topo.in_range, topo.orig, -1
         ).astype(np.float32)
+    # multi-row records are shaped [n, rows, 128]: Mosaic accepts a
+    # single-record DMA slice .at[i] -> (rows, 128) from HBM, while a
+    # (1, 256) slice of a flat [n, 256] array violates its (8, 128)
+    # tile alignment (probed on hardware, round 4)
+    if nodes.shape[1] > 128:
+        nodes = nodes.reshape(W_n, -1, 128)
+    if leaves.shape[1] > 128:
+        leaves = leaves.reshape(len(leaves), -1, 128)
     return nodes, leaves
 
 
@@ -167,11 +212,14 @@ def plan_treelets(ptr: np.ndarray, max_rows: int | None = None) -> np.ndarray:
 
 
 def _treelet_boxes(roots: np.ndarray, nodes: np.ndarray,
-                   leaves: np.ndarray, w: int = WIDTH
+                   leaves: np.ndarray, w: int = WIDTH,
+                   cap: int = LEAF_CAP
                    ) -> tuple[np.ndarray, np.ndarray]:
     """AABB per treelet root, from the assembled rows: a node treelet's box
     is the union of its row's occupied child-slot boxes; a leaf treelet's
     box bounds its triangles. Recomputed on every refit (geometry moves)."""
+    nodes = nodes.reshape(len(nodes), -1)
+    leaves = leaves.reshape(len(leaves), -1)
     K = len(roots)
     lo = np.zeros((K, 3), np.float32)
     hi = np.full((K, 3), -1.0, np.float32)  # inverted box: never hit
@@ -189,10 +237,10 @@ def _treelet_boxes(roots: np.ndarray, nodes: np.ndarray,
     is_leaf = ~is_node
     if is_leaf.any():
         lrows = leaves[(-2 - roots[is_leaf]).astype(np.int64)]
-        data = lrows[:, 0:72].reshape(-1, 9, LEAF_CAP)
+        data = lrows[:, 0:9 * cap].reshape(-1, 9, cap)
         v0 = data[:, 0:3]
         pts = np.stack([v0, v0 + data[:, 3:6], v0 + data[:, 6:9]], axis=0)
-        occ = (lrows[:, 72:80] >= 0.0)[None, :, None, :]
+        occ = (lrows[:, 9 * cap:10 * cap] >= 0.0)[None, :, None, :]
         occ = np.broadcast_to(occ, pts.shape)
         llo = np.where(occ, pts, np.inf).min(axis=(0, 3))
         lhi = np.where(occ, pts, -np.inf).max(axis=(0, 3))
@@ -203,17 +251,19 @@ def _treelet_boxes(roots: np.ndarray, nodes: np.ndarray,
 
 
 def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
-               tri_verts: np.ndarray) -> WideBVH:
+               tri_verts: np.ndarray, use_clip: bool = False) -> WideBVH:
     """Rebuild wide rows for moved geometry without touching topology.
     `b_min`/`b_max` come from a binary refit (lbvh.refit_host); shapes are
-    identical to the original build, so jitted traces are reused verbatim."""
+    identical to the original build, so jitted traces are reused verbatim.
+    use_clip is only set by build_wide; motion refits keep the default
+    (full-triangle leaf boxes — stale clip boxes could uncover geometry)."""
     tri_verts = np.asarray(tri_verts, np.float32)
-    nodes, leaves = assemble_rows(topo, b_min, b_max, tri_verts)
+    nodes, leaves = assemble_rows(topo, b_min, b_max, tri_verts, use_clip)
     bounds = np.stack(
         [tri_verts.min(axis=(0, 1)), tri_verts.max(axis=(0, 1))]
     ).astype(np.float32)
     t_lo, t_hi = _treelet_boxes(topo.treelet_roots, nodes, leaves,
-                                topo.width)
+                                topo.width, topo.leaf_cap)
     return WideBVH(
         nodes=jnp.asarray(nodes),
         leaves=jnp.asarray(leaves),
@@ -226,19 +276,22 @@ def refit_wide(topo: WideTopology, b_min: np.ndarray, b_max: np.ndarray,
         num_nodes=len(nodes),
         num_leaves=len(leaves),
         num_tris=len(tri_verts),
+        leaf_token=jnp.zeros((topo.leaf_cap,), jnp.uint8),
     )
 
 
 class WideBVH(NamedTuple):
-    """Node/leaf records are single 128-float rows so one aligned DMA (or
-    one VMEM row) fetches a whole visit:
+    """Node/leaf records are single aligned rows (128 or 256 f32 — the
+    TPU's HBM minor-dim tile is 128 lanes, so 512 B is the storage/DMA
+    granule and a 256-word row is one (256,) DMA) so one copy fetches a
+    whole visit. With w = width and S = leaf_slots:
 
-      nodes[m]:  cols c*8+j (c<6) = child-box component c of slot j
-                 (lox,loy,loz,hix,hiy,hiz); cols 48+j = child pointer,
+      nodes[m]:  cols c*w+j (c<6) = child-box component c of slot j
+                 (lox,loy,loz,hix,hiy,hiz); cols 6w+j = child pointer,
                  f32-encoded (>= 0 wide node, -1 empty, <= -2 leaf ~ptr);
-                 col 56 = dominant child-sort axis
-      leaves[l]: cols c*8+j (c<9) = triangle component c of slot j
-                 (v0,e1,e2); cols 72+j = original tri id (f32, -1 empty)
+                 col 7w = dominant child-sort axis
+      leaves[l]: cols c*S+j (c<9) = triangle component c of slot j
+                 (v0,e1,e2); cols 9S+j = original tri id (f32, -1 empty)
 
     f32 encoding of ids is exact below 2^24 — a 16M-triangle/node cap.
     """
@@ -263,6 +316,11 @@ class WideBVH(NamedTuple):
     num_nodes: int
     num_leaves: int
     num_tris: int
+    # [leaf_slots] u8 zeros: triangle slots per leaf row (8/12/16/24),
+    # shape-encoded like width_token. Trailing None default keeps
+    # pre-round-4 call sites (which always meant 8) valid without
+    # allocating a device array at import time.
+    leaf_token: jnp.ndarray | None = None
 
     @property
     def max_depth(self) -> int:
@@ -273,19 +331,27 @@ class WideBVH(NamedTuple):
         return self.width_token.shape[0]
 
     @property
+    def leaf_slots(self) -> int:
+        return LEAF_CAP if self.leaf_token is None else self.leaf_token.shape[0]
+
+    @property
     def max_stack(self) -> int:
         return (self.width - 1) * self.max_depth + 1
 
 
 def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
                leaf_cap: int = LEAF_CAP, with_topology: bool = False,
-               width: int = WIDTH):
-    """tri_verts: [T, 3, 3] world space. leaf_cap <= 8 bounds triangles per
-    fat leaf (rows keep the 8-slot layout; unused slots are zeroed).
-    width = children per internal node (8 or 16; see WIDTH_WIDE).
+               width: int = WIDTH, clip_sorted=None):
+    """tri_verts: [T, 3, 3] world space. leaf_cap bounds triangles per fat
+    leaf row (<= 12 in a 128-word row, <= 24 in a 256-word row; unused
+    slots are zeroed). width = children per internal node (8/16 in a
+    128-word row, 24/32 in a 256-word row).
+    clip_sorted: optional (clip_lo, clip_hi) [R, 3] arrays aligned with
+    the binary build's sorted order (spatial-split reference boxes from
+    lbvh.build_sah(refs=...)); leaf-bin boxes then come from these.
     with_topology=True also returns the WideTopology for later refits."""
-    assert 1 <= leaf_cap <= 8
-    assert width in (WIDTH, WIDTH_WIDE)
+    assert 1 <= leaf_cap <= 24
+    assert width in (8, 16, 24, 32)
     tri_verts = np.asarray(tri_verts, np.float32)
     T = len(tri_verts)
     if binary is None:
@@ -398,6 +464,7 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
     int_ids = np.full((W, width), -1, np.int64)
     ptr = np.full((W, width), -1, np.int64)
     orig_rows: list[np.ndarray] = []
+    pos_rows: list[np.ndarray] = []  # sorted positions (for clip boxes)
     cent = np.zeros((W, width, 3), np.float64)
     with np.errstate(invalid="ignore"):
         # padded binary nodes carry +/-inf boxes; their centroids are
@@ -436,6 +503,13 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
                     for j in members
                 ])
                 orig_rows.append(tri_ids)
+                if clip_sorted is not None:
+                    pos_rows.append(np.concatenate([
+                        np.arange(starts[slots_all[r, j]],
+                                  starts[slots_all[r, j]]
+                                  + counts[slots_all[r, j]])
+                        for j in members
+                    ]))
                 ptr[r, col] = -2 - (len(orig_rows) - 1)
                 # bin centroid = mean of member binary-node centroids
                 cent[r, col] = b_cent[
@@ -450,6 +524,15 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
         orig[i, : len(ids)] = ids
         in_range[i, : len(ids)] = True
     orig = np.clip(orig, 0, max(T - 1, 0))  # padding indexes row 0 safely
+
+    clip_lo = clip_hi = None
+    if clip_sorted is not None:
+        cl_s, ch_s = clip_sorted
+        clip_lo = np.zeros((max(n_leaves, 1), leaf_cap, 3), np.float32)
+        clip_hi = np.zeros_like(clip_lo)
+        for i, pos in enumerate(pos_rows):
+            clip_lo[i, : len(pos)] = cl_s[pos]
+            clip_hi[i, : len(pos)] = ch_s[pos]
 
     # ordered traversal: sort each node's child slots ascending by centroid
     # along the node's dominant (max centroid spread) axis, and record that
@@ -476,6 +559,8 @@ def build_wide(tri_verts: np.ndarray, binary: lbvh.BVH | None = None,
         orig=orig, in_range=in_range,
         n_levels=max(len(all_rows), 1), leaf_cap=leaf_cap,
         treelet_roots=plan_treelets(ptr), width=width,
+        clip_lo=clip_lo, clip_hi=clip_hi,
     )
-    wbvh = refit_wide(topo, b_min, b_max, tri_verts)
+    wbvh = refit_wide(topo, b_min, b_max, tri_verts,
+                      use_clip=clip_sorted is not None)
     return (wbvh, topo) if with_topology else wbvh

@@ -348,25 +348,55 @@ class World:
         if builder == "auto":
             builder = "sah" if T > 50_000 else "karras"
             self._builder = builder
+        clip_sorted = None
         if builder == "sah":
-            bvh = lbvh.build_sah(verts, as_numpy=True)
+            # SBVH-style spatial splits: large triangles (interior walls,
+            # floors) become several clipped references so leaf boxes stay
+            # tight instead of spanning the scene. MSN_PRESPLIT=<factor>
+            # sets the reference budget (<=1 disables). OFF by default:
+            # measured counter-productive for the packet traversal —
+            # a scene-spanning leaf costs one visit per BLOCK union,
+            # while its split pieces cost a visit each (the whole block
+            # sees the wall), so room_184k closest-hit visits rose 25%
+            # and time 72.9 -> 95.6 ms (anyhit -8%, net loss;
+            # scripts/profile_presplit.py, BASELINE.md round-4 notes).
+            presplit = float(os.environ.get("MSN_PRESPLIT", "0"))
+            if presplit > 1.0:
+                refs = lbvh.presplit_refs(verts, max_refs_factor=presplit)
+                bvh, cl_s, ch_s = lbvh.build_sah(verts, as_numpy=True,
+                                                 refs=refs)
+                clip_sorted = (cl_s, ch_s)
+            else:
+                bvh = lbvh.build_sah(verts, as_numpy=True)
         else:
             bvh = lbvh.build(verts, as_numpy=True)
         # small scenes traverse from VMEM, big ones stream rows from HBM —
-        # the dispatch in integrator.path picks per scene size. HBM-bound
-        # scenes (the kernel there is bound by per-visit fixed work) use
-        # 16-wide internal nodes to halve internal visits; override with
-        # MSN_WIDE=8|16 for A/B runs.
-        width = wide_bvh.WIDTH_WIDE if T > 100_000 else wide_bvh.WIDTH
+        # the dispatch in integrator.path picks per scene size. The kernel
+        # is bound by per-visit scalar work, so rows are packed fat:
+        # 16-wide internal nodes (113/128 words) and 12-slot leaves
+        # (120/128 words) — measured best on both the VMEM flagship
+        # (11.14 -> 11.29 Mrays/s) and the HBM room (-2.4% closest-hit);
+        # 24/32-wide two-row formats measured -4..-5% more on the room
+        # but regress the flagship (round-4 fat-row matrix). Override with
+        # MSN_WIDE=8|16|24|32 and MSN_LEAF_CAP=1..24 for A/B runs.
+        width = wide_bvh.WIDTH_WIDE
+        leaf_cap = 12
         env_w = os.environ.get("MSN_WIDE")
-        if env_w in ("8", "16"):
+        if env_w in ("8", "16", "24", "32"):
             width = int(env_w)
+        env_c = os.environ.get("MSN_LEAF_CAP")
+        if env_c and env_c.isdigit() and 1 <= int(env_c) <= 24:
+            leaf_cap = int(env_c)
         wide, wide_topo = wide_bvh.build_wide(verts, binary=bvh,
                                               with_topology=True,
-                                              width=width)
+                                              width=width,
+                                              leaf_cap=leaf_cap,
+                                              clip_sorted=clip_sorted)
         order = np.asarray(bvh.tri_order)
+        # with spatial splits `order` duplicates triangle ids; inv_order
+        # keeps one (arbitrary) sorted slot per triangle
         inv_order = np.empty(T, np.int64)
-        inv_order[order] = np.arange(T)
+        inv_order[order] = np.arange(len(order))
 
         emitter_tris = np.nonzero(sampled)[0]
         emitters = _build_emitters(verts, emitter_tris, uvs, mat_ids,

@@ -115,6 +115,59 @@ class TestPacketTraversal:
             np.asarray(got.is_hit), np.asarray(want.is_hit)
         )
 
+    @pytest.mark.parametrize("cap,width", [(12, 16), (16, 16), (24, 24),
+                                           (16, 32)])
+    def test_fat_row_formats_match_default(self, cap, width):
+        """Round-4 fat rows: 12-slot leaves fill the single 128-word row;
+        16/24-slot leaves and 24/32-wide nodes span a 256-word two-row
+        record ([n, 2, 128] DMA). All formats must produce identical
+        results to the 8-slot/8-wide baseline."""
+        tris = random_tris(500, seed=21)
+        w0 = wide.build_wide(tris)
+        w1 = wide.build_wide(tris, leaf_cap=cap, width=width)
+        o, d = random_rays(512, seed=22)
+        h0 = packet.closest_hit_packet(w0, o, d, 1e12)
+        h1 = packet.closest_hit_packet(w1, o, d, 1e12)
+        np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h0.tri))
+        np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h0.t),
+                                   rtol=1e-6)
+        a0 = packet.any_hit_packet(w0, o, d, 5.0)
+        a1 = packet.any_hit_packet(w1, o, d, 5.0)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+
+    def test_presplit_refs_match_default(self):
+        """SBVH spatial splits (opt-in): a scene with room-spanning wall
+        triangles builds with clipped duplicate references; traversal
+        intersects full triangles, so results are identical."""
+        from moonshine_tpu.accel import lbvh
+
+        rs = np.random.RandomState(23)
+        c = rs.rand(300, 1, 3).astype(np.float32) * 10
+        tris = c + (rs.rand(300, 3, 3).astype(np.float32) - 0.5) * 0.4
+        walls = np.asarray([
+            [[0, 0, 0], [10, 0, 0], [10, 10, 0]],
+            [[0, 0, 0], [10, 10, 0], [0, 10, 0]],
+            [[0, 0, 10], [10, 0, 10], [10, 10, 10]],
+        ], np.float32)
+        tris = np.concatenate([tris, walls])
+        refs = lbvh.presplit_refs(tris, max_refs_factor=1.5)
+        assert len(refs[0]) > len(tris)  # the walls actually split
+        bvh, cl, ch = lbvh.build_sah(tris, as_numpy=True, refs=refs)
+        w1 = wide.build_wide(tris, binary=bvh, clip_sorted=(cl, ch))
+        w0 = wide.build_wide(tris)
+        o, d = random_rays(512, seed=24)
+        h0 = packet.closest_hit_packet(w0, o, d, 1e12)
+        h1 = packet.closest_hit_packet(w1, o, d, 1e12)
+        np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h0.tri))
+        a0 = packet.any_hit_packet(w0, o, d, 6.0)
+        a1 = packet.any_hit_packet(w1, o, d, 6.0)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+        # the jnp fallback walks the same presplit binary tree
+        dbvh = lbvh.device_bvh(bvh)
+        tvs = jnp.asarray(tris[np.asarray(bvh.tri_order)])
+        hf = traverse.closest_hit(dbvh, tvs, o, d, 1e12)
+        np.testing.assert_array_equal(np.asarray(hf.tri), np.asarray(h0.tri))
+
     def test_hbm_variant_matches(self):
         # in interpret mode the HBM wrapper routes through the same logic;
         # real-DMA coverage is exercised by the TPU benchmarks
