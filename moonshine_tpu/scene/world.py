@@ -319,6 +319,33 @@ class World:
         return self._env_cache[h]
 
     def _full_build(self, builder: str) -> DeviceScene:
+        # instancing escape hatch: the flatten materializes one world-space
+        # record per instanced triangle (the memory-for-locality trade this
+        # module's docstring owns), so heavily-instanced content — the
+        # reference renders 4096 instances of one 100k-tri mesh with a
+        # single deduplicated BLAS (Accel.zig:313-343) — would silently
+        # allocate count*tris rows. Refuse crisply past a cap instead:
+        # ~16M rows ≈ 2 GB tri_shade + ~1.4 GB BVH/verts, a fraction of
+        # HBM but minutes of host flatten/build. MSN_MAX_FLAT_TRIS
+        # overrides for chips/hosts that can take more.
+        # hidden instances still occupy (degenerate) rows so visibility
+        # toggles never change array shapes — count them all
+        flat_tris = sum(
+            len(self.meshes[g.mesh].indices)
+            for inst in self.instances
+            for g in inst.geometries
+        ) if self.instances else 0
+        cap = int(os.environ.get("MSN_MAX_FLAT_TRIS", str(16_000_000)))
+        if flat_tris > cap:
+            raise ValueError(
+                f"scene flattens to {flat_tris:,} instanced triangles, over "
+                f"the {cap:,} cap. This renderer expands every instance to "
+                "world-space triangle records (no BLAS dedup — see "
+                "scene/world.py docstring); reduce instance counts / mesh "
+                "density, or raise MSN_MAX_FLAT_TRIS if the host and HBM "
+                "can take it (~128 B/triangle on device)."
+            )
+
         mat_table, mat_atlas, packed_np = _build_materials(
             self.materials, MaterialBlockBuilder()
         )
@@ -373,14 +400,16 @@ class World:
         # small scenes traverse from VMEM, big ones stream rows from HBM —
         # the dispatch in integrator.path picks per scene size. The kernel
         # is bound by per-visit scalar work, so rows are packed fat:
-        # 16-wide internal nodes (113/128 words) and 12-slot leaves
-        # (120/128 words) — measured best on both the VMEM flagship
-        # (11.14 -> 11.29 Mrays/s) and the HBM room (-2.4% closest-hit);
-        # 24/32-wide two-row formats measured -4..-5% more on the room
-        # but regress the flagship (round-4 fat-row matrix). Override with
-        # MSN_WIDE=8|16|24|32 and MSN_LEAF_CAP=1..24 for A/B runs.
-        width = wide_bvh.WIDTH_WIDE
-        leaf_cap = 12
+        # VMEM-class scenes use 16-wide nodes (113/128 words) + 12-slot
+        # leaves (120/128) — flagship 11.14 -> 11.29 Mrays/s; HBM-class
+        # scenes (>100k tris) use the two-row 24-wide/24-slot records
+        # (one [2,128] DMA per visit) — room_1M 0.83 -> 0.91, room_184k
+        # 1.96 -> 1.98 on the ladder. Override with MSN_WIDE=8|16|24|32
+        # and MSN_LEAF_CAP=1..24 for A/B runs.
+        if T > 100_000:
+            width, leaf_cap = 24, 24
+        else:
+            width, leaf_cap = wide_bvh.WIDTH_WIDE, 12
         env_w = os.environ.get("MSN_WIDE")
         if env_w in ("8", "16", "24", "32"):
             width = int(env_w)

@@ -111,6 +111,26 @@ def main():
     check("per-bounce resort bit-identical image", identical,
           f"mean={float(np.asarray(img0).mean()):.5f}")
 
+    # depth golden (round-4): 256², 64 spp furnace with russian roulette
+    # live (max_bounces=8; RR kicks in after bounce 3). The analytic value
+    # is exactly 1.0 per pixel; the 8-spp CPU goldens can't see a bias
+    # that only appears at depth, this on-chip run can. ~4M paths ->
+    # the mean's noise floor is ~1e-4; 1e-3 is a real-bias tripwire.
+    from moonshine_tpu.render.renderer import render
+    from test_furnace import furnace_world, outside_lens
+
+    fscene = furnace_world(albedo=1.0).build()
+    fsensor, _ = render(
+        fscene, outside_lens(), 256, 256, spp=64,
+        cfg=PathConfig(max_bounces=8, env_samples_per_bounce=0,
+                       mesh_samples_per_bounce=0),
+    )
+    fimg = np.asarray(fsensor.image)
+    fmean = float(fimg.mean())
+    fvar = float(fimg.var())
+    check("depth golden: 256² 64-spp furnace w/ RR mean==1",
+          abs(fmean - 1.0) < 1e-3, f"mean={fmean:.6f} var={fvar:.2e}")
+
     print("all checks passed" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 

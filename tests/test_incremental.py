@@ -202,3 +202,30 @@ class TestIncrementalBuild:
         w.use_background(h_dark)
         s3 = w.build()
         assert s3.env is env_dark  # cached table reused
+
+
+class TestInstancingCap:
+    def test_flatten_cap_errors_crisply(self, monkeypatch):
+        """The instance flatten has no BLAS dedup (scene/world.py owns the
+        trade); past the cap the build must refuse with an actionable
+        error instead of silently allocating count*tris rows — the
+        escape hatch for heavily-instanced content (the reference
+        renders 4096 instances of one mesh with one BLAS,
+        Accel.zig:313-343)."""
+        monkeypatch.setenv("MSN_MAX_FLAT_TRIS", "1000")
+        w = World()
+        sphere = w.add_mesh(icosphere(2, with_normals=False))
+        mat = w.add_material(MaterialInfo(variant=Lambert(color=(1, 1, 1))))
+        n_tris = len(icosphere(2, with_normals=False).indices)
+        n_inst = 1000 // n_tris + 2
+        for i in range(n_inst):
+            w.add_instance(Instance(transform=translate(i * 3.0, 0, 0),
+                                    geometries=[Geometry(sphere, mat)]))
+        w.set_background(None)
+        with pytest.raises(ValueError, match="MSN_MAX_FLAT_TRIS"):
+            w.build()
+
+    def test_cap_override(self, monkeypatch):
+        monkeypatch.setenv("MSN_MAX_FLAT_TRIS", "100000000")
+        w, a, b = two_sphere_world()
+        assert w.build() is not None
