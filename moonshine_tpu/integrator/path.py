@@ -613,6 +613,49 @@ def _init_state(ray_o, ray_d, rng_state):
     )
 
 
+def _bounce_shrunk(scene, cfg: PathConfig, bounce, st, last: bool):
+    """Bounce over the live prefix only (requires a resorted state: the
+    coherence key sends dead lanes to the tail, so all live lanes sit in
+    a prefix). Deep bounces have few survivors, but the bounce machinery
+    (hit decode, BSDF/NEE vector math, shadow batches) otherwise runs at
+    full lane width — a lax.cond picks a N/2 or N/4 static prefix when
+    the live count fits, processing the tail not at all. Dead lanes'
+    radiance/state are final, so images are bit-identical; their RNG
+    lanes stop advancing, which is unobservable (dead lanes never
+    contribute again). Measured on the flagship: deep-bounce machinery
+    is lane-width-bound, not live-lane-bound, so this converts the dead
+    fraction directly into time."""
+    N = st["o"].shape[0]
+    if N < 4 * 1024:  # not worth the extra kernel variants
+        return _bounce_body(scene, cfg, bounce, st, last=last, resort=True)
+    live = jnp.sum(st["active"])
+
+    def prefix_fn(M):
+        def fn(s):
+            head = {
+                k: (v[:M] if jnp.ndim(v) >= 1 and v.shape[0] == N else v)
+                for k, v in s.items()
+            }
+            out = _bounce_body(scene, cfg, bounce, head, last=last,
+                               resort=True)
+            return {
+                k: (jnp.concatenate([out[k], v[M:]], axis=0)
+                    if jnp.ndim(v) >= 1 and v.shape[0] == N else out[k])
+                for k, v in s.items()
+            }
+        return fn
+
+    full_fn = lambda s: _bounce_body(scene, cfg, bounce, s, last=last,
+                                     resort=True)
+    return jax.lax.cond(
+        live <= N // 4,
+        prefix_fn(N // 4),
+        lambda s: jax.lax.cond(live <= N // 2, prefix_fn(N // 2),
+                               full_fn, s),
+        st,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "resort", "last"),
          donate_argnums=(1,))
 def _staged_bounce(scene, st, bounce, cfg: PathConfig, resort: bool,
@@ -624,6 +667,7 @@ def _staged_bounce(scene, st, bounce, cfg: PathConfig, resort: bool,
     one executable."""
     if resort:
         st = _resort_state(scene, st)
+        return _bounce_shrunk(scene, cfg, bounce, st, last=last)
     return _bounce_body(scene, cfg, bounce, st, last=last, resort=resort)
 
 
@@ -689,9 +733,12 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
         for bounce in range(n_segments):
             if resort and bounce > 0:
                 st = _resort_state(scene, st)
-            st = _bounce_body(scene, cfg, bounce, st,
-                              last=bounce == n_segments - 1,
-                              resort=resort)
+                st = _bounce_shrunk(scene, cfg, bounce, st,
+                                    last=bounce == n_segments - 1)
+            else:
+                st = _bounce_body(scene, cfg, bounce, st,
+                                  last=bounce == n_segments - 1,
+                                  resort=resort)
         return finish(st)
 
     keys = tuple(st.keys())
@@ -704,8 +751,12 @@ def trace_paths(scene, ray_o, ray_d, rng_state, cfg: PathConfig):
         bounce = carry[0]
         s = dict(zip(keys, carry[1:]))
         if resort:
+            # bounce 0 enters unsorted-but-fully-live; the shrink's live
+            # check keeps it at full width there automatically
             s = _resort_state(scene, s)
-        s = _bounce_body(scene, cfg, bounce, s, resort=resort)
+            s = _bounce_shrunk(scene, cfg, bounce, s, last=False)
+        else:
+            s = _bounce_body(scene, cfg, bounce, s, resort=resort)
         return (bounce + 1,) + tuple(s[k] for k in keys)
 
     final = jax.lax.while_loop(
