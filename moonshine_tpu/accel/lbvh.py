@@ -481,7 +481,18 @@ def presplit_refs(tri_verts: np.ndarray, max_refs_factor: float = 1.35,
         ref_tri = np.concatenate([ref_tri, ref_tri[c2]])
         ref_lo = np.concatenate([ref_lo, r_lo[both]])
         ref_hi = np.concatenate([ref_hi, r_hi[both]])
-    return (ref_tri, ref_lo.astype(np.float32), ref_hi.astype(np.float32))
+    # narrow f64 -> f32 rounding OUTWARD: round-to-nearest could move a lo
+    # up (or hi down) past the true clipped extent by half an ulp, and a
+    # ray grazing exactly at that boundary would miss a hit the
+    # non-presplit build finds (the SBVH correctness argument needs
+    # conservative reference boxes). Standard SBVH practice.
+    lo32 = ref_lo.astype(np.float32)
+    hi32 = ref_hi.astype(np.float32)
+    lo32 = np.where(lo32.astype(np.float64) > ref_lo,
+                    np.nextafter(lo32, np.float32(-np.inf)), lo32)
+    hi32 = np.where(hi32.astype(np.float64) < ref_hi,
+                    np.nextafter(hi32, np.float32(np.inf)), hi32)
+    return (ref_tri, lo32, hi32)
 
 
 def build_sah(

@@ -199,6 +199,12 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
     count_visits adds a per-block visit-count output (profiling only)."""
     node_multirow = 7 * width + 1 > 128
     leaf_multirow = 10 * leaf_slots > 128
+    # decomposition probes, captured at kernel-construction time (see the
+    # module-level _PROBE_* knobs; all zero/False in production)
+    probe_reads = _PROBE_EXTRA_READS if dma_rows else 0
+    probe_push = _PROBE_EXTRA_PUSH if dma_rows else 0
+    probe_vec = _PROBE_EXTRA_VEC if dma_rows else 0
+    no_prefetch = _PROBE_NO_PREFETCH and dma_rows
 
     def kernel(nodes_ref, leaves_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
@@ -295,8 +301,11 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
             # stack[top-1] is in flight into buffer dma_ref[0]"
             dma_ref[0] = 0
             dma_ref[1] = 0
-            dma_ref[2] = 1
-            fetch_start(jnp.int32(0), jnp.int32(0))
+            if no_prefetch:
+                dma_ref[2] = 0  # serial-DMA probe: fetch at pop, no overlap
+            else:
+                dma_ref[2] = 1
+                fetch_start(jnp.int32(0), jnp.int32(0))
 
         def cond(carry):
             if any_hit:
@@ -311,7 +320,11 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
             if count_visits:
                 cnt_sc[0] += 1
                 cnt_sc[1] += (node >= 0).astype(jnp.int32)  # internal visits
-            if dma_rows:
+            if dma_rows and no_prefetch:
+                cur = jnp.int32(0)
+                fetch_start(cur, node)
+                fetch_wait(cur, node)
+            elif dma_rows:
                 cur = dma_ref[0]
                 fetch_wait(cur, node)
                 dma_ref[2] = 0
@@ -322,6 +335,29 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                 @pl.when(do_pref)
                 def _():
                     fetch_start(1 - cur, pred)
+
+            if probe_reads:
+                # k synthetic SMEM reads (+ one scalar add each), folded
+                # into the node id so they can't be dead-code-eliminated
+                acc = jnp.float32(0.0)
+                for i in range(probe_reads):
+                    col = (i * 13) % 128
+                    if node_multirow:
+                        acc = acc + node_buf[cur, 0, col]
+                    else:
+                        acc = acc + node_buf[cur, col]
+                node = node + (acc.astype(jnp.int32) & 0)
+
+            if probe_vec:
+                # k synthetic full-width vector ops, NaN-folded into tmax
+                # (x*a+b can't be proven non-NaN, so the fold is live)
+                vj = ox_ref[0]
+                for i in range(probe_vec):
+                    vj = vj * 1.0000001 + 1e-7
+                if any_hit:
+                    occ_ref[0] = occ_ref[0] + (vj != vj).astype(jnp.int32)
+                else:
+                    t_ref[0] = t_ref[0] + jnp.where(vj != vj, 1.0, 0.0)
 
             if any_hit:
                 occluded = occ_ref[0] > 0
@@ -488,7 +524,23 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                 return top - 1
 
             new_top = jax.lax.cond(node < 0, leaf, internal, top)
-            if dma_rows:
+            if probe_push:
+                # k synthetic predicated stack stores with the real push
+                # loop's serialized carry; targets sit at the far end of
+                # the SMEM stack, beyond any reachable real top
+                pp = jnp.int32(0)
+                cap_idx = stack_ref.shape[0] - 1
+                for i in range(probe_push):
+                    do = ((node >> (i % 4)) & 1) != 0
+                    idx = cap_idx - pp
+
+                    @pl.when(do)
+                    def _(idx=idx):
+                        stack_ref[idx] = node
+
+                    pp = pp + do.astype(jnp.int32)
+                new_top = new_top + (pp & 0)
+            if dma_rows and not no_prefetch:
                 # reconcile the prefetch with the actual next pop: a hit
                 # means the row is already arriving; a miss retires the
                 # (already overlapped) copy and fetches the right row
@@ -676,6 +728,17 @@ def _scratch(hbm: bool, dma_rows: bool = True, any_hit: bool = False,
 # probe hook (scripts/profile_leafslots.py): intersect only the first N
 # leaf slots per visit. None = all of the tree's leaf slots (production).
 _LEAF_SLOTS_OVERRIDE: int | None = None
+
+# --- scalar-stream decomposition probes (scripts/profile_scalar.py) ---
+# Inject k extra synthetic ops per visit and fit the marginal cost of each
+# op class; multiplying by the real kernel's per-visit op counts yields the
+# (a) field-decode / (b) stack-push / (c) DMA-protocol split the round-4
+# cost model named but never measured. All default to 0/False (production
+# kernels are byte-identical). Real-TPU (dma_rows) kernels only.
+_PROBE_EXTRA_READS = 0   # extra SMEM scalar reads (+ scalar add each)
+_PROBE_EXTRA_PUSH = 0    # extra predicated stack stores (+ carry add each)
+_PROBE_EXTRA_VEC = 0     # extra full-width vector ops
+_PROBE_NO_PREFETCH = False  # drop the next-pop prefetch (serial DMA)
 
 
 def _leaf_slots(wbvh) -> int:

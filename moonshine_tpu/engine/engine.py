@@ -86,6 +86,7 @@ class Engine:
         self._dirty = True
         self._pending_rays: list = []  # device counters from wait=False frames
         self._mesh = None  # multi-chip device mesh (set_mesh)
+        self._mesh_fallback_warned = False
         self.metrics: dict = {"renders": 0, "rays": 0.0, "render_seconds": 0.0}
 
     def set_mesh(self, mesh_or_spec) -> None:
@@ -98,8 +99,16 @@ class Engine:
             from ..parallel import mesh_from_spec
 
             mesh_or_spec = mesh_from_spec(mesh_or_spec)
+        if mesh_or_spec is not None:
+            names = tuple(getattr(mesh_or_spec, "axis_names", ()))
+            if "sp" not in names or "dp" not in names:
+                raise ValueError(
+                    "mesh must have 'sp' and 'dp' axes (use "
+                    f"parallel.make_mesh / mesh_from_spec); got {names}"
+                )
         with self._lock:
             self._mesh = mesh_or_spec
+            self._mesh_fallback_warned = False
 
     # --- images (TextureManager surface: moonshine.h CreateSolidTexture*/CreateRawTexture) ---
 
@@ -338,6 +347,20 @@ class Engine:
                 and h % mesh.shape["dp"] == 0
                 and spp % mesh.shape["sp"] == 0
             )
+            if mesh is not None and not use_mesh:
+                with self._lock:
+                    warn = not getattr(self, "_mesh_fallback_warned", False)
+                    self._mesh_fallback_warned = True
+                if warn:
+                    import warnings
+
+                    warnings.warn(
+                        f"multi-chip mesh configured (sp={mesh.shape['sp']}, "
+                        f"dp={mesh.shape['dp']}) but height {h} % dp or "
+                        f"spp {spp} % sp != 0 — rendering single-device. "
+                        "Pick dividing shapes to use the mesh.",
+                        RuntimeWarning, stacklevel=2,
+                    )
             if use_mesh:
                 from ..parallel import render_sharded
 

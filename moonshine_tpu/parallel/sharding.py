@@ -16,6 +16,7 @@ chip-count-invariant reproducibility.
 
 from __future__ import annotations
 
+from dataclasses import replace
 from functools import partial
 
 import jax
@@ -57,41 +58,29 @@ def mesh_from_spec(spec: str) -> Mesh:
     return make_mesh(devices[: sp * dp], sp=sp)
 
 
-def render_sharded(scene, lens: LensArrays, height: int, width: int,
-                   spp: int, cfg: PathConfig, mesh: Mesh,
-                   flip_image: bool = True, base_sample: int = 0,
-                   staged: bool | None = None):
-    """Render spp samples over the mesh; returns ([H, W, 3] mean image,
-    rays traced). height % dp == 0 and spp % sp == 0 required.
-
-    staged: use the per-bounce staged integrator (trace_paths_staged)
-    inside each shard instead of the fused bounce graph. Default: staged
-    when a device's local dispatch exceeds the fused-path lane ceiling
-    (renderer.MAX_LANES) — the same large-frame switch the single-device
-    renderer makes, so a 1080p frame sharded 2 ways composes with the
-    staged path instead of hitting the >1M-lane XLA cliff."""
+@partial(jax.jit, static_argnames=("mesh", "height", "width", "spp", "cfg",
+                                   "staged", "flip_image"))
+def _sharded_step(scene, lens, base_sample, *, mesh: Mesh, height: int,
+                  width: int, spp: int, cfg: PathConfig, staged: bool,
+                  flip_image: bool):
+    """Module-level jitted shard_map step. base_sample is a TRACED uint32
+    so progressive frames (Engine.render with an advancing sample_count)
+    reuse one cached executable instead of re-lowering the whole sharded
+    bounce graph per frame (round-4 advisor finding)."""
     sp = mesh.shape["sp"]
     dp = mesh.shape["dp"]
-    if height % dp or spp % sp:
-        raise ValueError(
-            f"height ({height}) must divide by dp ({dp}) and "
-            f"spp ({spp}) by sp ({sp})"
-        )
     rows = height // dp
     local_spp = spp // sp
-    if staged is None:
-        from ..render.renderer import MAX_LANES
-        staged = rows * width > MAX_LANES
     trace = trace_paths_staged if staged else trace_paths
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=(P(None, "dp", None, None), P()),
         check_vma=False,
     )
-    def step(scene, lens):
+    def step(scene, lens, base_sample):
         di = jax.lax.axis_index("dp")
         si = jax.lax.axis_index("sp")
         row0 = di * rows
@@ -108,9 +97,7 @@ def render_sharded(scene, lens: LensArrays, height: int, width: int,
         rays_total = jnp.asarray(0.0, jnp.float32)
         for s in range(local_spp):
             sample_index = (
-                jnp.asarray(base_sample, jnp.uint32)
-                + si.astype(jnp.uint32) * local_spp
-                + s
+                base_sample + si.astype(jnp.uint32) * local_spp + s
             )
             rng = R.seed(sample_index, px, py)
             rng, jitter = R.next_float2(rng)
@@ -126,5 +113,44 @@ def render_sharded(scene, lens: LensArrays, height: int, width: int,
         # leading singleton is the "sp" shard axis (replicated post-psum)
         return acc[None], rays_total
 
-    image, rays = step(scene, lens)
+    return step(scene, lens, base_sample)
+
+
+def render_sharded(scene, lens: LensArrays, height: int, width: int,
+                   spp: int, cfg: PathConfig, mesh: Mesh,
+                   flip_image: bool = True, base_sample: int = 0,
+                   staged: bool | None = None):
+    """Render spp samples over the mesh; returns ([H, W, 3] mean image,
+    rays traced). height % dp == 0 and spp % sp == 0 required.
+
+    staged: use the per-bounce staged integrator (trace_paths_staged)
+    inside each shard instead of the fused bounce graph. Default: staged
+    when a device's local dispatch exceeds the fused-path lane ceiling
+    (renderer.MAX_LANES) — the same large-frame switch the single-device
+    renderer makes, so a 1080p frame sharded 2 ways composes with the
+    staged path instead of hitting the >1M-lane XLA cliff. Deep bounce
+    budgets (> 8 bounces) can't use staging here: inside the traced
+    shard_map its per-bounce host dispatch can't apply and the Python
+    loop would inline max_bounces+2 segments into one program, so they
+    run the fused while_loop path instead (early exit, one-segment live
+    set — round-4 advisor finding)."""
+    sp = mesh.shape["sp"]
+    dp = mesh.shape["dp"]
+    if height % dp or spp % sp:
+        raise ValueError(
+            f"height ({height}) must divide by dp ({dp}) and "
+            f"spp ({spp}) by sp ({sp})"
+        )
+    rows = height // dp
+    if staged is None:
+        from ..render.renderer import MAX_LANES
+        staged = rows * width > MAX_LANES
+    if staged and cfg.max_bounces + 2 > 10:
+        staged = False
+        cfg = replace(cfg, unroll=False)
+    image, rays = _sharded_step(
+        scene, lens, jnp.asarray(base_sample, jnp.uint32), mesh=mesh,
+        height=height, width=width, spp=spp, cfg=cfg, staged=staged,
+        flip_image=flip_image,
+    )
     return image[0], rays

@@ -43,11 +43,18 @@ class Viewer:
     # (a forgotten browser tab must not peg the chip forever)
     IDLE_TIMEOUT = 10.0
 
-    def __init__(self, engine: Engine, lens: Lens, width=512, height=512):
+    def __init__(self, engine: Engine, lens: Lens, width=512, height=512,
+                 mesh=None):
+        """mesh: optional multi-chip device mesh — a jax.sharding.Mesh, a
+        spec string ('auto' / 'SP,DP'), or None (single device). Passed
+        through to Engine.set_mesh, so interactive frames render via
+        parallel.render_sharded when height/spp divide the mesh axes."""
         self.engine = engine
         self.width = width
         self.height = height
         self.lens = lens
+        if mesh is not None:
+            engine.set_mesh(mesh)
         self.sensor = engine.create_sensor(width, height)
         self.lens_handle = engine.create_lens(lens)
         self.exposure = 1.0
@@ -129,7 +136,14 @@ class Viewer:
             self.engine.sample_count(self.sensor) >= self.max_samples
         ):
             return self.engine.get_sensor_data(self.sensor)
-        return self.engine.render(self.sensor, self.lens_handle, wait=wait)
+        # on a multi-chip mesh, one interactive frame traces sp samples
+        # (one per sample-shard) so spp divides the mesh's sample axis and
+        # the frame renders via parallel.render_sharded — more chips means
+        # more samples per frame at the same latency
+        mesh = getattr(self.engine, "_mesh", None)
+        spp = mesh.shape["sp"] if mesh is not None else 1
+        return self.engine.render(self.sensor, self.lens_handle, spp=spp,
+                                  wait=wait)
 
     def frame_png(self) -> bytes:
         from PIL import Image
@@ -146,8 +160,11 @@ class Viewer:
     def status(self) -> dict:
         m = self.engine.metrics
         cfg = self.engine.config
+        mesh = getattr(self.engine, "_mesh", None)
         return {
             "samples": self.engine.sample_count(self.sensor),
+            "mesh": (None if mesh is None
+                     else {"sp": mesh.shape["sp"], "dp": mesh.shape["dp"]}),
             "last_frame_seconds": m.get("last_frame_seconds", 0.0),
             "mrays_per_sec": m.get("last_mrays_per_sec", 0.0),
             "origin": np.asarray(self.lens.origin).tolist(),
