@@ -27,6 +27,10 @@ class Hit(NamedTuple):
     tri: jnp.ndarray  # [N] i32 original triangle index, -1 on miss
     u: jnp.ndarray  # [N] f32 barycentric of vertex 1
     v: jnp.ndarray  # [N] f32 barycentric of vertex 2
+    # instance id: only the two-level (TLAS) traversal fills this; the
+    # single-level kernels return flattened triangles whose instance lives
+    # in the shade row instead (accel/tlas.py)
+    inst: jnp.ndarray | None = None
 
     @property
     def is_hit(self):

@@ -423,8 +423,12 @@ class Engine:
             if int(hit.tri[0]) < 0:
                 return PickResult(-1, -1, -1, (0.0, 0.0))
             row = np.asarray(scene.tri_shade[hit.tri[0]])
+            # two-level instancing: the instance id is per-hit (object
+            # rows are shared across instances, so col 26 holds -1 there)
+            instance = (int(hit.inst[0]) if hit.inst is not None
+                        else int(row[26]))
             return PickResult(
-                instance=int(row[26]),
+                instance=instance,
                 geometry=int(row[27]),
                 primitive=int(row[28]),
                 barycentrics=(float(hit.u[0]), float(hit.v[0])),

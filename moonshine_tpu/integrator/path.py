@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 import os
 
-from ..accel import packet, traverse, treelet
+from ..accel import packet, tlas as tlas_mod, traverse, treelet
 from ..bsdf import materials as B
 from ..core import rng as R
 from ..core.frame import Frame, cos_theta
@@ -116,12 +116,33 @@ def _tangent_bitangent(p0, p1, p2, t0, t1, t2):
     return tangent, bitangent
 
 
-def _decode_hit(scene, tri, bary_u, bary_v):
+def _inst_world(scene, inst, corners, nrms):
+    """Two-level-instancing decode leg: transform OBJECT-space corner
+    positions/normals of the gathered rows into world space with the
+    hit lane's instance transform (accel/tlas.py stores object rows once
+    per unique mesh; the flatten path bakes this at build time instead).
+    Returns (corners_w, nrms_w, det_sign)."""
+    I = scene.inst_tf.shape[0]
+    tf = scene.inst_tf[jnp.clip(inst, 0, I - 1)]  # [N, 13]
+    lin = tf[:, :9].reshape(-1, 3, 3)
+    corners_w = jnp.einsum("nij,nkj->nki", lin, corners) + tf[:, None, 9:12]
+    nrms_w = None
+    if nrms is not None:
+        # normal matrix = inverse-transpose of lin = (world->object
+        # linear)^T, already stored in the TLAS's inverse transforms
+        inv = scene.tlas.inst_inv[jnp.clip(inst, 0, I - 1)]
+        nrm_m = inv[:, :9].reshape(-1, 3, 3)  # used transposed in einsum
+        nrms_w = safe_normalize(jnp.einsum("nji,nkj->nki", nrm_m, nrms))
+    return corners_w, nrms_w, tf[:, 12]
+
+
+def _decode_hit(scene, tri, bary_u, bary_v, inst=None):
     """Gather and interpolate surface attributes at a hit
     (world.hlsl:107-177 MeshAttributes). One packed-row gather per lane.
 
     Returns (position, uv, tri_frame, vtx_frame, mat_row, sampled) where
-    mat_row is the packed material record.
+    mat_row is the packed material record. `inst` (two-level instancing
+    only) selects the per-lane transform applied to the object-space rows.
     """
     row = gather_rows(scene.tri_shade, tri)  # [N, 48]
     n = tri.shape[0]
@@ -131,6 +152,10 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     mat_id = row[:, 24].astype(jnp.int32)
     sampled = row[:, 25] > 0.5
 
+    det_sign = None
+    if inst is not None and getattr(scene, "tlas", None) is not None:
+        corners, nrms, det_sign = _inst_world(scene, inst, corners, nrms)
+
     position = _interp(bary_u, bary_v, corners)
     uv = _interp(bary_u, bary_v, uvs)
 
@@ -138,6 +163,10 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     t0, t1, t2 = uvs[:, 0], uvs[:, 1], uvs[:, 2]
     tangent, bitangent = _tangent_bitangent(p0, p1, p2, t0, t1, t2)
     tri_n = safe_normalize(jnp.cross(p0 - p2, p1 - p2))
+    if det_sign is not None:
+        # mirroring instances flip the winding the flatten path corrects
+        # by swapping vertices; here the cross product's sign carries it
+        tri_n = tri_n * det_sign[..., None]
     tri_frame = Frame(n=tri_n, s=tangent, t=bitangent).reorthogonalize()
 
     vtx_n = safe_normalize(_interp(bary_u, bary_v, nrms))
@@ -149,7 +178,7 @@ def _decode_hit(scene, tri, bary_u, bary_v):
     return position, uv, tri_frame, vtx_frame, mat_row, sampled
 
 
-def _decode_hit_thin(scene, tri, bary_u, bary_v):
+def _decode_hit_thin(scene, tri, bary_u, bary_v, inst=None):
     """Last-segment decode: the final bounce only accumulates emissive
     (integrator.hlsl:109-124) and dies, so it needs position (mesh-light
     MIS pdf), the triangle normal (front-face test), uv (textured
@@ -161,10 +190,15 @@ def _decode_hit_thin(scene, tri, bary_u, bary_v):
     corners = row[:, 0:9].reshape(n, 3, 3)
     uvs = row[:, 18:24].reshape(n, 3, 2)
     sampled = row[:, 25] > 0.5
+    det_sign = None
+    if inst is not None and getattr(scene, "tlas", None) is not None:
+        corners, _, det_sign = _inst_world(scene, inst, corners, None)
     position = _interp(bary_u, bary_v, corners)
     uv = _interp(bary_u, bary_v, uvs)
     p0, p1, p2 = corners[:, 0], corners[:, 1], corners[:, 2]
     tri_n = safe_normalize(jnp.cross(p0 - p2, p1 - p2))
+    if det_sign is not None:
+        tri_n = tri_n * det_sign[..., None]
     return position, uv, tri_n, row[:, 32:48], sampled
 
 
@@ -262,6 +296,9 @@ def _closest(scene, o, d, t_max, active, presorted: bool = False):
     HBM-streaming kernel as fallback), and the jnp while_loop fallback
     when no wide BVH exists. presorted=True (the per-bounce state resort)
     skips the HBM wrappers' own sorting pass."""
+    tl = getattr(scene, "tlas", None)
+    if tl is not None:
+        return tlas_mod.closest_hit_tlas(tl, o, d, t_max, active_in=active)
     wide = getattr(scene, "wide", None)
     mode = _hbm_mode(wide)
     if mode == "vmem":
@@ -279,6 +316,9 @@ def _closest(scene, o, d, t_max, active, presorted: bool = False):
 
 
 def _any_hit(scene, o, d, t_max, active, presorted: bool = False):
+    tl = getattr(scene, "tlas", None)
+    if tl is not None:
+        return tlas_mod.any_hit_tlas(tl, o, d, t_max, active_in=active)
     wide = getattr(scene, "wide", None)
     mode = _hbm_mode(wide)
     if mode == "vmem":
@@ -376,16 +416,17 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
 
     # ---- decode surface (gathers are clamped; masked lanes are junk-safe)
     tri = jnp.clip(hit.tri, 0, scene.num_tris - 1)
+    inst = hit.inst  # two-level instancing only; None otherwise
     w_o_ws = -d
     if last:
         # final segment only accumulates emissive: thin decode, no frames
         position, uv, tri_n, mat_row, tri_sampled = _decode_hit_thin(
-            scene, tri, hit.u, hit.v
+            scene, tri, hit.u, hit.v, inst=inst
         )
         emissive = _decode_emissive(scene, mat_row, uv)
     else:
         position, uv, tri_frame, vtx_frame, mat_row, tri_sampled = (
-            _decode_hit(scene, tri, hit.u, hit.v)
+            _decode_hit(scene, tri, hit.u, hit.v, inst=inst)
         )
         mat, emissive, normal_rg = _decode_material(scene, mat_row, uv)
         tri_n = tri_frame.n

@@ -37,6 +37,7 @@ stage, and a rebuild reuses everything clean —
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass, field
 from typing import NamedTuple, Optional
 
@@ -121,9 +122,20 @@ class DeviceScene(NamedTuple):
     # is when the per-bounce coherence resort pays on VMEM-resident
     # scenes (measured +11-18% with deltas, -10-26% without).
     delta_token: jnp.ndarray
+    # two-level instancing mode (accel/tlas.py — the reference's BLAS
+    # dedup, Accel.zig:313-343): set when the flatten would exceed the
+    # instanced-triangle cap (or MSN_FORCE_TLAS=1). tri_shade rows then
+    # hold OBJECT-space corners/normals and traversal returns
+    # (object tri, instance); the decode applies inst_tf per lane.
+    # inst_tf packs [I, 13]: object->world linear (9) + translation (3)
+    # + det sign (1, flips the geometric normal under mirroring).
+    tlas: object = None
+    inst_tf: jnp.ndarray | None = None
 
     @property
     def num_tris(self) -> int:
+        if self.bvh is None:
+            return int(self.tri_shade.shape[0])
         return self.bvh.num_tris
 
     @property
@@ -336,15 +348,21 @@ class World:
             for g in inst.geometries
         ) if self.instances else 0
         cap = int(os.environ.get("MSN_MAX_FLAT_TRIS", str(16_000_000)))
-        if flat_tris > cap:
-            raise ValueError(
-                f"scene flattens to {flat_tris:,} instanced triangles, over "
-                f"the {cap:,} cap. This renderer expands every instance to "
-                "world-space triangle records (no BLAS dedup — see "
-                "scene/world.py docstring); reduce instance counts / mesh "
-                "density, or raise MSN_MAX_FLAT_TRIS if the host and HBM "
-                "can take it (~128 B/triangle on device)."
-            )
+        force_tlas = os.environ.get("MSN_FORCE_TLAS", "0") == "1"
+        if (flat_tris > cap or force_tlas) and self.instances:
+            # past the cap the flatten's memory-for-locality trade stops
+            # paying: switch to the two-level structure (shared BLAS per
+            # unique geometry group + TLAS over instance AABBs) — the
+            # reference's BLAS dedup (Accel.zig:313-343). Slower per ray
+            # (jnp fallback traversal) but capability-complete at any
+            # instance count. MSN_FORCE_TLAS=1 forces it for A/B/testing.
+            if flat_tris > cap:
+                warnings.warn(
+                    f"scene flattens to {flat_tris:,} instanced triangles "
+                    f"(cap {cap:,}): using two-level instancing (shared "
+                    "BLAS + TLAS) instead of the flattened packet kernels."
+                )
+            return self._build_tlas_scene()
 
         mat_table, mat_atlas, packed_np = _build_materials(
             self.materials, MaterialBlockBuilder()
@@ -501,6 +519,83 @@ class World:
             tri_verts_sorted=jnp.asarray(verts[order]),
             tri_shade=jnp.asarray(tri_shade),
             emitters=emitters,
+        )
+
+    def _build_tlas_scene(self) -> DeviceScene:
+        """Two-level-instancing build (accel/tlas.py): one object-space
+        BLAS per unique geometry group, a TLAS over instance AABBs, and
+        object-space shade rows transformed per lane at decode time.
+        Edits on this mode do a full (cheap: per-UNIQUE-mesh) rebuild —
+        no refit cache is kept."""
+        from ..accel import tlas as tlas_mod
+
+        mat_table, mat_atlas, packed_np = _build_materials(
+            self.materials, MaterialBlockBuilder()
+        )
+        self._mat_packed_host = packed_np
+
+        t, obj, _groups = tlas_mod.build_tlas(self.meshes, self.instances)
+
+        tri_shade = _pack_tri_shade(
+            obj["positions"], obj["normals"], obj["uvs"], obj["mat_ids"],
+            obj["sampled"], obj["inst_ids"], obj["geo_ids"],
+            obj["prim_ids"], packed_np,
+        )
+
+        I = len(self.instances)
+        inst_tf = np.zeros((max(I, 1), 13), np.float32)
+        inst_tf[:, 12] = 1.0
+        for i, inst in enumerate(self.instances):
+            M = np.asarray(inst.transform, np.float32)
+            inst_tf[i, :9] = M[:, :3].reshape(9)
+            inst_tf[i, 9:12] = M[:, 3]
+            inst_tf[i, 12] = 1.0 if np.linalg.det(M[:, :3]) >= 0 else -1.0
+
+        # emitters: flatten ONLY sampled geometries of visible instances
+        # (small by construction), so NEE sampling and hit-side MIS pdfs
+        # match the flattened path's semantics exactly
+        e_insts = [
+            Instance(transform=inst.transform,
+                     geometries=[g for g in inst.geometries if g.sampled])
+            for inst in self.instances
+            if inst.visible and any(g.sampled for g in inst.geometries)
+        ]
+        if e_insts:
+            c = _flatten_object(self.meshes, e_insts)
+            ev, _en, eu = _world_transform(c, e_insts)
+            emitter_tris = np.nonzero(c.sampled)[0]
+            emitters = _build_emitters(ev, emitter_tris, eu, c.mat_ids,
+                                       packed_np)
+            self._emitter_host = (ev[emitter_tris], eu[emitter_tris],
+                                  np.asarray(c.mat_ids)[emitter_tris],
+                                  emitter_tris)
+        else:
+            empty = np.zeros(0, np.int64)
+            emitters = _build_emitters(
+                np.zeros((1, 3, 3), np.float32), empty,
+                np.zeros((1, 3, 2), np.float32), np.zeros(1, np.int32),
+                packed_np,
+            )
+            self._emitter_host = None
+
+        self._cache = None  # edits trigger a full (cheap) rebuild
+        return DeviceScene(
+            bvh=None,
+            wide=None,
+            tri_verts_sorted=None,
+            inv_order=None,
+            tri_shade=jnp.asarray(tri_shade),
+            materials=mat_table,
+            mat_atlas=mat_atlas,
+            env=self._build_env(),
+            emitters=emitters,
+            delta_token=jnp.zeros(
+                (1 if any(
+                    isinstance(m.variant, (Mirror, Glass))
+                    for m in self.materials
+                ) else 0,), jnp.uint8),
+            tlas=t,
+            inst_tf=jnp.asarray(inst_tf),
         )
 
 

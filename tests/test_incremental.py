@@ -205,13 +205,12 @@ class TestIncrementalBuild:
 
 
 class TestInstancingCap:
-    def test_flatten_cap_errors_crisply(self, monkeypatch):
-        """The instance flatten has no BLAS dedup (scene/world.py owns the
-        trade); past the cap the build must refuse with an actionable
-        error instead of silently allocating count*tris rows — the
-        escape hatch for heavily-instanced content (the reference
-        renders 4096 instances of one mesh with one BLAS,
-        Accel.zig:313-343)."""
+    def test_flatten_cap_switches_to_tlas(self, monkeypatch):
+        """Past the flatten cap the build switches to true two-level
+        instancing (shared BLAS per unique geometry + TLAS over instance
+        AABBs, accel/tlas.py — the reference's Accel.zig:313-343 dedup)
+        with a warning, instead of silently allocating count*tris rows.
+        Round 4 merely refused here; round 5 renders it."""
         monkeypatch.setenv("MSN_MAX_FLAT_TRIS", "1000")
         w = World()
         sphere = w.add_mesh(icosphere(2, with_normals=False))
@@ -222,8 +221,12 @@ class TestInstancingCap:
             w.add_instance(Instance(transform=translate(i * 3.0, 0, 0),
                                     geometries=[Geometry(sphere, mat)]))
         w.set_background(None)
-        with pytest.raises(ValueError, match="MSN_MAX_FLAT_TRIS"):
-            w.build()
+        with pytest.warns(UserWarning, match="two-level instancing"):
+            scene = w.build()
+        assert scene.tlas is not None
+        # shared BLAS: object rows stay one-mesh-sized
+        assert scene.tri_shade.shape[0] == n_tris
+        assert scene.tlas.num_instances == n_inst
 
     def test_cap_override(self, monkeypatch):
         monkeypatch.setenv("MSN_MAX_FLAT_TRIS", "100000000")
