@@ -50,17 +50,28 @@ def main():
     acc, rays = run(0)
     acc.block_until_ready()
 
-    t0 = time.perf_counter()
-    acc, total_rays = run(n_samples)
-    acc.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # three timed dispatches: the first is the historical headline
+    # protocol (rounds 1-4); the min approximates device-bound time with
+    # the tunnel's per-dispatch jitter removed (round-5 measurement
+    # hygiene — the round-4 driver-vs-builder 36% split was fresh-process
+    # vs corrupted-long-process readings of this same dispatch)
+    runs = []
+    total_rays = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        acc, total_rays = run((i + 1) * n_samples)
+        acc.block_until_ready()
+        runs.append(time.perf_counter() - t0)
 
-    mrays = float(total_rays) / elapsed / 1e6
+    mrays = float(total_rays) / runs[0] / 1e6
     result = {
         "metric": "Mrays/sec/chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 50.0, 4),
+        "runs_s": [round(r, 4) for r in runs],
+        "mrays_best": round(float(total_rays) / min(runs) / 1e6, 3),
+        "device_ms_per_spp": round(min(runs) / n_samples * 1e3, 2),
     }
     print(json.dumps(result))
     return 0

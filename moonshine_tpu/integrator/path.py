@@ -276,6 +276,10 @@ def _emissive_at(scene, light_row, bary):
 # experiment; default OFF.
 _USE_TREELETS = os.environ.get("MSN_TREELETS", "0") == "1"
 
+# Round-5 A/B knob: compact the NEE shadow batch on delta-carrying scenes
+# even when the state itself is coherence-resorted (see _bounce_body).
+_SHADOW_COMPACT = os.environ.get("MSN_SHADOW_COMPACT", "1") == "1"
+
 
 def _hbm_mode(wide) -> str:
     """'vmem' | 'treelet' | 'hbm' | 'jnp' — static under jit."""
@@ -549,14 +553,22 @@ def _bounce_body(scene, cfg: PathConfig, bounce, st, last: bool = False,
     if shadow_batches:
         # shadow rays inherit the (possibly resorted) lane order; their
         # origins are the hits of coherence-ordered rays, so the per-
-        # dispatch sort stays on only when the state itself is unsorted
+        # dispatch sort stays on only when the state itself is unsorted.
+        # Exception (round-5): on delta-carrying scenes a resorted state
+        # still interleaves NEE-dead delta lanes through the live prefix,
+        # spreading live shadow rays over more packet blocks; re-sorting
+        # the 2N shadow batch packs those dead lanes into free tail
+        # blocks (the sort pair costs ~2x0.5 ms at 524k lanes).
+        shadow_presorted = resort and not (
+            _SHADOW_COMPACT and getattr(scene, "has_delta", False)
+        )
         occ_all = _any_hit(
             scene,
             jnp.concatenate([b[0] for b in shadow_batches]),
             jnp.concatenate([b[1] for b in shadow_batches]),
             jnp.concatenate([b[2] for b in shadow_batches]),
             jnp.concatenate([b[3] for b in shadow_batches]),
-            presorted=resort,
+            presorted=shadow_presorted,
         )
         n = position.shape[0]
         for i, (_, _, _, lane, payload) in enumerate(shadow_batches):

@@ -2,10 +2,18 @@
 chip and prints a table + JSON lines. The driver's bench.py stays the
 single-line flagship metric; this is the detailed view.
 
+Round-5 measurement hygiene: by default every rung runs in its OWN
+process (`--only` is the single-rung worker mode). In-process sweeps on
+the tunneled chip corrupt after a handful of compiled variants — later
+dispatches under-read badly (see profile_one.py) — which is what made the
+round-4 ladder's numbers disagree with the driver's fresh-process
+bench.py by 36%. The `flagship` rung shells out to bench.py itself, so
+the ladder's flagship row IS the driver measurement.
+
 Usage: python scripts/bench_ladder.py [--quick] [--full] [--only RUNG]
   --quick  2 spp per rung instead of 6
   --full   adds the ~1M-triangle room rung (BASELINE.md rung 4 scale)
-  --only   run a single rung by name (A/B runs)
+  --only   run a single rung in THIS process (worker mode / A/B runs)
 """
 
 import os as _os
@@ -63,12 +71,69 @@ def run_rung(name, scene, lens, size, spp, cfg, build_seconds=None):
     return result
 
 
+RUNGS = ["furnace", "cornell", "mirror_glass", "room_184k"]
+
+
+def orchestrate(args):
+    """Fresh-process ladder: one subprocess per rung + bench.py flagship."""
+    import subprocess
+
+    here = _pl.Path(__file__).resolve()
+    root = here.parent.parent
+    rungs = list(RUNGS) + (["room_1m"] if args.full else [])
+    results = []
+    for rung in rungs:
+        cmd = [sys.executable, str(here), "--only", rung]
+        if args.quick:
+            cmd.append("--quick")
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=str(root), timeout=3600)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if line is None:
+            print(f"[{rung}] FAILED:\n{proc.stdout}\n{proc.stderr[-2000:]}",
+                  flush=True)
+            continue
+        r = json.loads(line)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    # flagship row = the driver's own bench.py, verbatim, fresh process
+    proc = subprocess.run([sys.executable, str(root / "bench.py")],
+                          capture_output=True, text=True, cwd=str(root),
+                          timeout=3600)
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")), None)
+    if line is not None:
+        b = json.loads(line)
+        r = {"rung": "flagship(bench.py)", "tris": 964,
+             "resolution": "512x512",
+             "mrays_per_sec": b["value"],
+             "spp_per_sec": None,
+             "vs_baseline": b.get("vs_baseline"),
+             "device_ms_per_spp": b.get("device_ms_per_spp")}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    else:
+        print(f"[flagship] bench.py FAILED:\n{proc.stderr[-2000:]}",
+              flush=True)
+
+    print("\nrung               tris      Mrays/s   spp/s @res")
+    for r in results:
+        spp_s = (f"{r['spp_per_sec']:>8.2f}"
+                 if r.get("spp_per_sec") is not None else "       -")
+        print(f"{r['rung']:<18} {r['tris']:>8} {r['mrays_per_sec']:>8.2f}"
+              f" {spp_s} @{r['resolution']}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--full", action="store_true")
     p.add_argument("--only", default=None)
     args = p.parse_args(argv)
+    if args.only is None:
+        return orchestrate(args)
     spp = 2 if args.quick else 6
 
     def want(name):

@@ -119,6 +119,7 @@ def main():
         "kind": args.kind, "ms": round(dt * 1e3, 3),
         "floor_ms": round(floor * 1e3, 3),
         "live": int(jnp.sum(st["active"])),
+        "width": w.width, "leaf_slots": w.leaf_slots,
         "probe": [args.probe_reads, args.probe_push, args.probe_vec,
                   int(args.no_prefetch)],
     }
