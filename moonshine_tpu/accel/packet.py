@@ -569,7 +569,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                 vc = carry[2] + 1
                 if dma_rows:
                     all_done = jax.lax.cond(
-                        (vc & 7) == 0,
+                        (vc & (_PROBE_EXIT_EVERY - 1)) == 0,
                         lambda: jnp.all((occ_ref[0] > 0) | ~live0),
                         lambda: jnp.bool_(False),
                     )
@@ -735,6 +735,7 @@ _LEAF_SLOTS_OVERRIDE: int | None = None
 # (a) field-decode / (b) stack-push / (c) DMA-protocol split the round-4
 # cost model named but never measured. All default to 0/False (production
 # kernels are byte-identical). Real-TPU (dma_rows) kernels only.
+_PROBE_EXIT_EVERY = 8    # anyhit exit-check interval (power of 2; probe knob)
 _PROBE_EXTRA_READS = 0   # extra SMEM scalar reads (+ scalar add each)
 _PROBE_EXTRA_PUSH = 0    # extra predicated stack stores (+ carry add each)
 _PROBE_EXTRA_VEC = 0     # extra full-width vector ops

@@ -34,10 +34,19 @@ def main():
     ap.add_argument("--probe-vec", type=int, default=0)
     ap.add_argument("--no-prefetch", action="store_true")
     ap.add_argument("--count-visits", action="store_true")
+    ap.add_argument("--hbm-block", type=int, default=None,
+                    help="override packet.HBM_BLOCK for this cell")
+    ap.add_argument("--exit-every", type=int, default=None,
+                    help="anyhit exit-check interval (power of 2)")
     args = ap.parse_args()
     K = args.k
 
     from moonshine_tpu.accel import packet, vpacket
+
+    if args.hbm_block:
+        packet.set_block_size(packet.BLOCK, args.hbm_block)
+    if args.exit_every:
+        packet._PROBE_EXIT_EVERY = args.exit_every
 
     packet._PROBE_EXTRA_READS = args.probe_reads
     packet._PROBE_EXTRA_PUSH = args.probe_push
@@ -120,6 +129,7 @@ def main():
         "floor_ms": round(floor * 1e3, 3),
         "live": int(jnp.sum(st["active"])),
         "width": w.width, "leaf_slots": w.leaf_slots,
+        "hbm_block": packet.HBM_BLOCK,
         "probe": [args.probe_reads, args.probe_push, args.probe_vec,
                   int(args.no_prefetch)],
     }
