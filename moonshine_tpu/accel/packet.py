@@ -204,6 +204,7 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
     probe_reads = _PROBE_EXTRA_READS if dma_rows else 0
     probe_push = _PROBE_EXTRA_PUSH if dma_rows else 0
     probe_vec = _PROBE_EXTRA_VEC if dma_rows else 0
+    probe_s2v = _PROBE_EXTRA_S2V if dma_rows else 0
     no_prefetch = _PROBE_NO_PREFETCH and dma_rows
 
     def kernel(nodes_ref, leaves_ref,
@@ -358,6 +359,27 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                     occ_ref[0] = occ_ref[0] + (vj != vj).astype(jnp.int32)
                 else:
                     t_ref[0] = t_ref[0] + jnp.where(vj != vj, 1.0, 0.0)
+
+            if probe_s2v:
+                # k synthetic (SMEM read -> scalar-to-vector broadcast ->
+                # FMA) chains — the EXACT shape of a production bound
+                # consumption. probe_reads measures the read alone and
+                # probe_vec a constant-operand vector op; the difference
+                # between this slope and (read + vec) isolates the
+                # scalar-operand broadcast cost, which otherwise hides in
+                # the residual.
+                vk = ox_ref[0]
+                for i in range(probe_s2v):
+                    col = (i * 29) % 128
+                    if node_multirow:
+                        sv = node_buf[cur, 0, col]
+                    else:
+                        sv = node_buf[cur, col]
+                    vk = vk * 1.0000001 + sv * 1e-30
+                if any_hit:
+                    occ_ref[0] = occ_ref[0] + (vk != vk).astype(jnp.int32)
+                else:
+                    t_ref[0] = t_ref[0] + jnp.where(vk != vk, 1.0, 0.0)
 
             if any_hit:
                 occluded = occ_ref[0] > 0
@@ -739,6 +761,7 @@ _PROBE_EXIT_EVERY = 8    # anyhit exit-check interval (power of 2; probe knob)
 _PROBE_EXTRA_READS = 0   # extra SMEM scalar reads (+ scalar add each)
 _PROBE_EXTRA_PUSH = 0    # extra predicated stack stores (+ carry add each)
 _PROBE_EXTRA_VEC = 0     # extra full-width vector ops
+_PROBE_EXTRA_S2V = 0     # extra read->broadcast->FMA chains (see probe_s2v)
 _PROBE_NO_PREFETCH = False  # drop the next-pop prefetch (serial DMA)
 
 

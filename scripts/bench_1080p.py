@@ -40,21 +40,45 @@ def measure(scene, la, h, w, spp, cfg):
     return float(rays) / dt / 1e6, spp / dt
 
 
-def main():
+def main(argv=None):
+    # round-5 measurement hygiene: each resolution is its own compiled
+    # variant, so by default each runs in its OWN subprocess (in-process
+    # variant sweeps corrupt on the tunneled chip — see bench_ladder.py)
+    import argparse
+    import subprocess
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["512", "1080"], default=None)
+    args = ap.parse_args(argv)
+
+    if args.only is None:
+        here = str(pathlib.Path(__file__).resolve())
+        for rung in ("512", "1080"):
+            proc = subprocess.run(
+                [sys.executable, here, "--only", rung],
+                capture_output=True, text=True, timeout=3600)
+            for ln in proc.stdout.splitlines():
+                if ln.startswith("{"):
+                    print(ln, flush=True)
+            if proc.returncode:
+                print(f"[{rung}] FAILED:\n{proc.stderr[-1500:]}", flush=True)
+        return
+
     world, lens = room_scene(grid=6, subdivisions=4)
     scene = world.build()
     la = LensArrays.from_lens(lens)
     cfg = PathConfig(max_bounces=4, env_samples_per_bounce=1,
                      mesh_samples_per_bounce=1)
 
-    m512, s512 = measure(scene, la, 512, 512, 3, cfg)
-    print(json.dumps({"res": "512x512", "mrays_per_sec": round(m512, 3),
-                      "spp_per_sec": round(s512, 3)}), flush=True)
-    m1080, s1080 = measure(scene, la, 1080, 1920, 2, cfg)
-    ratio = m1080 / m512
-    print(json.dumps({"res": "1920x1080", "mrays_per_sec": round(m1080, 3),
-                      "spp_per_sec": round(s1080, 4),
-                      "per_ray_vs_512": round(ratio, 3)}), flush=True)
+    if args.only == "512":
+        m512, s512 = measure(scene, la, 512, 512, 3, cfg)
+        print(json.dumps({"res": "512x512", "mrays_per_sec": round(m512, 3),
+                          "spp_per_sec": round(s512, 3)}), flush=True)
+    else:
+        m1080, s1080 = measure(scene, la, 1080, 1920, 2, cfg)
+        print(json.dumps({"res": "1920x1080",
+                          "mrays_per_sec": round(m1080, 3),
+                          "spp_per_sec": round(s1080, 4)}), flush=True)
 
 
 if __name__ == "__main__":

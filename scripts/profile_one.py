@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--probe-reads", type=int, default=0)
     ap.add_argument("--probe-push", type=int, default=0)
     ap.add_argument("--probe-vec", type=int, default=0)
+    ap.add_argument("--probe-s2v", type=int, default=0)
     ap.add_argument("--no-prefetch", action="store_true")
     ap.add_argument("--count-visits", action="store_true")
     ap.add_argument("--hbm-block", type=int, default=None,
@@ -51,6 +52,7 @@ def main():
     packet._PROBE_EXTRA_READS = args.probe_reads
     packet._PROBE_EXTRA_PUSH = args.probe_push
     packet._PROBE_EXTRA_VEC = args.probe_vec
+    packet._PROBE_EXTRA_S2V = args.probe_s2v
     packet._PROBE_NO_PREFETCH = args.no_prefetch
     from moonshine_tpu.core import rng as R
     from moonshine_tpu.integrator import path as P
@@ -131,7 +133,7 @@ def main():
         "width": w.width, "leaf_slots": w.leaf_slots,
         "hbm_block": packet.HBM_BLOCK,
         "probe": [args.probe_reads, args.probe_push, args.probe_vec,
-                  int(args.no_prefetch)],
+                  args.probe_s2v, int(args.no_prefetch)],
     }
     if args.count_visits and args.kernel == "row":
         t_eff = jnp.where(st["active"], jnp.float32(args.tmax),

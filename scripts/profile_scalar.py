@@ -64,6 +64,7 @@ def main():
         ("reads", "--probe-reads", [64, 128]),
         ("push", "--probe-push", [8, 16]),
         ("vec", "--probe-vec", [32, 64]),
+        ("s2v", "--probe-s2v", [48, 96]),
     ]
 
     for kind in kinds:
@@ -98,12 +99,15 @@ def main():
         read_cost = slopes.get("reads", 0.0) / total
         push_cost = slopes.get("push", 0.0) / total
         vec_cost = slopes.get("vec", 0.0) / total
+        s2v_cost = slopes.get("s2v", 0.0) / total
         decode = read_cost * (reads_int * internal + reads_leaf * leaf) / total
         push = push_cost * push_ops * internal / total
         print(f"\n=== {kind}: visits {total:.0f} (internal {internal:.0f}"
               f" leaf {leaf:.0f}) ===")
         print(f"marginal ns/op: read {read_cost*1e9:.2f} "
-              f"push {push_cost*1e9:.2f} vec {vec_cost*1e9:.2f}")
+              f"push {push_cost*1e9:.2f} vec {vec_cost*1e9:.2f} "
+              f"s2v-chain {s2v_cost*1e9:.2f} (broadcast share "
+              f"{(s2v_cost-read_cost-vec_cost)*1e9:.2f})")
         print(f"per-visit {per_visit*1e9:.0f} ns | "
               f"decode(scalar reads) {decode*1e9:.0f} ns "
               f"({decode/per_visit:.0%}) | push {push*1e9:.0f} ns "
