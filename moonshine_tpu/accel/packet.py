@@ -584,17 +584,33 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                     dma_ref[1] = next_node
                     dma_ref[2] = 1
             if any_hit:
-                # the exit reduction is a full cross-lane jnp.all; on TPU
-                # check it every 8th visit — exits land a few visits
-                # later, results are identical, and 7/8 of the reductions
-                # disappear (interpret mode keeps the per-visit check)
                 vc = carry[2] + 1
                 if dma_rows:
-                    all_done = jax.lax.cond(
-                        (vc & (_PROBE_EXIT_EVERY - 1)) == 0,
-                        lambda: jnp.all((occ_ref[0] > 0) | ~live0),
-                        lambda: jnp.bool_(False),
-                    )
+                    # exit check: Mosaic's full cross-lane jnp.all costs
+                    # ~us-scale (round-5 measurement: the /8-gated form
+                    # left anyhit at 619 ns/visit vs closest's 81 —
+                    # this reduction was most of an anyhit visit). Fold
+                    # the still-unoccluded mask with the same static-
+                    # slice OR tree as the push mask (log2(rows) vector
+                    # ORs + one single-vreg any), cheap enough to run
+                    # at every visit — exits also land up to 7 visits
+                    # earlier than the /8 gate. _PROBE_EXIT_EVERY > 1
+                    # restores the gated form for A/B.
+                    def _tree_done():
+                        need = ((occ_ref[0] == 0) & live0).astype(jnp.int32)
+                        while need.shape[0] > 1:
+                            half = need.shape[0] // 2
+                            need = need[:half] | need[half:]
+                        return jnp.logical_not(jnp.any(need > 0))
+
+                    if _PROBE_EXIT_EVERY <= 1:
+                        all_done = _tree_done()
+                    else:
+                        all_done = jax.lax.cond(
+                            (vc & (_PROBE_EXIT_EVERY - 1)) == 0,
+                            _tree_done,
+                            lambda: jnp.bool_(False),
+                        )
                 else:
                     all_done = jnp.all((occ_ref[0] > 0) | ~live0)
                 return new_top, all_done, vc
@@ -757,7 +773,7 @@ _LEAF_SLOTS_OVERRIDE: int | None = None
 # (a) field-decode / (b) stack-push / (c) DMA-protocol split the round-4
 # cost model named but never measured. All default to 0/False (production
 # kernels are byte-identical). Real-TPU (dma_rows) kernels only.
-_PROBE_EXIT_EVERY = 8    # anyhit exit-check interval (power of 2; probe knob)
+_PROBE_EXIT_EVERY = 1    # anyhit exit-check interval (1 = OR-tree check every visit)
 _PROBE_EXTRA_READS = 0   # extra SMEM scalar reads (+ scalar add each)
 _PROBE_EXTRA_PUSH = 0    # extra predicated stack stores (+ carry add each)
 _PROBE_EXTRA_VEC = 0     # extra full-width vector ops
