@@ -603,7 +603,12 @@ def _make_kernel(any_hit: bool, dma_rows: bool, count_visits: bool = False,
                             need = need[:half] | need[half:]
                         return jnp.logical_not(jnp.any(need > 0))
 
-                    if _PROBE_EXIT_EVERY <= 1:
+                    if _PROBE_EXIT_EVERY == 0:
+                        # no early exit: traverse to stack-empty like
+                        # closest-hit (occluded lanes still leave the
+                        # push unions via the live mask)
+                        all_done = jnp.bool_(False)
+                    elif _PROBE_EXIT_EVERY == 1:
                         all_done = _tree_done()
                     else:
                         all_done = jax.lax.cond(

@@ -46,7 +46,7 @@ def main():
 
     if args.hbm_block:
         packet.set_block_size(packet.BLOCK, args.hbm_block)
-    if args.exit_every:
+    if args.exit_every is not None:
         packet._PROBE_EXIT_EVERY = args.exit_every
 
     packet._PROBE_EXTRA_READS = args.probe_reads
