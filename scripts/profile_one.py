@@ -105,7 +105,16 @@ def main():
             out = fn(oo, s["d"], s["active"])
             vv = jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)
             ssum = jnp.sum(vv)
-            return oo + ssum * 1e-7, acc + ssum
+            # data-dependence between iterations WITHOUT moving the rays:
+            # tanh bounds the feedback to +-1e-6 regardless of the output
+            # scale. (The earlier ssum*1e-7 form teleported closest-hit
+            # origins to ~1e28 after iteration 1 — miss lanes carry
+            # t=1e30, so 9 of the K iterations traced empty frames and
+            # every closest/row-vs-V/probe-slope number was diluted ~K x.
+            # Anyhit sums bounded occlusion counts, so its cells were
+            # real — the round-5 "anyhit is 5x slower" reading was this
+            # bug, not the kernel.)
+            return oo + jnp.tanh(ssum) * 1e-6, acc + ssum
 
         _, acc = jax.lax.fori_loop(0, K, body, (s["o"], jnp.float32(0)))
         return acc
