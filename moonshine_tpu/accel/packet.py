@@ -43,10 +43,13 @@ from .wide import WideBVH, WIDTH, LEAF_CAP
 # big scenes may prefer smaller blocks (divergence) — tune via
 # set_block_size.
 BLOCK = 8192       # VMEM-path packet width
-# HBM-path packet width: bigger unions hurt big scenes — room_184k
-# end-to-end: 2048 -> 1.65, 4096 -> 1.53, 8192 -> 1.18 Mrays/s
-# (scripts/profile_hbm_block.py)
-HBM_BLOCK = 2048
+# HBM-path packet width. Round-5 clean fresh-process curve (room_184k
+# bounce-1 closest, w24/c24): 512 -> 68.4, 1024 -> 55.9, 2048 -> 64.8,
+# 4096 -> 94.0 ms; anyhit 1024 ~= 2048. The per-visit cost is vector-
+# latency-bound, so halving lanes/block beats the union growth down to
+# 1024 (the earlier in-process sweep that kept 2048 predates the
+# profile_one harness fix — see BASELINE.md round-5).
+HBM_BLOCK = 1024
 ROWS = BLOCK // 128
 STACK_DEPTH = 512
 # the HBM kernel's stack is shallower (it was sized when each slot carried
@@ -778,7 +781,10 @@ _LEAF_SLOTS_OVERRIDE: int | None = None
 # (a) field-decode / (b) stack-push / (c) DMA-protocol split the round-4
 # cost model named but never measured. All default to 0/False (production
 # kernels are byte-identical). Real-TPU (dma_rows) kernels only.
-_PROBE_EXIT_EVERY = 1    # anyhit exit-check interval (1 = OR-tree check every visit)
+_PROBE_EXIT_EVERY = 8    # anyhit exit-check interval (OR-tree fold; 1 = every visit, 0 = none).
+# A/B (room bounce-1, fixed harness-equivalent): tree@1 41.0 / @4 37.8 /
+# @8 36.0 / no-exit 36.2 / original jnp.all@8 37.3 ms -> all within noise;
+# the reduction was never the anyhit cost. @8 kept (cheapest measured).
 _PROBE_EXTRA_READS = 0   # extra SMEM scalar reads (+ scalar add each)
 _PROBE_EXTRA_PUSH = 0    # extra predicated stack stores (+ carry add each)
 _PROBE_EXTRA_VEC = 0     # extra full-width vector ops

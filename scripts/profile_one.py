@@ -39,6 +39,8 @@ def main():
                     help="override packet.HBM_BLOCK for this cell")
     ap.add_argument("--exit-every", type=int, default=None,
                     help="anyhit exit-check interval (power of 2)")
+    ap.add_argument("--leaf-slots", type=int, default=None,
+                    help="intersect only the first N leaf slots per visit")
     args = ap.parse_args()
     K = args.k
 
@@ -48,6 +50,8 @@ def main():
         packet.set_block_size(packet.BLOCK, args.hbm_block)
     if args.exit_every is not None:
         packet._PROBE_EXIT_EVERY = args.exit_every
+    if args.leaf_slots is not None:
+        packet._LEAF_SLOTS_OVERRIDE = args.leaf_slots
 
     packet._PROBE_EXTRA_READS = args.probe_reads
     packet._PROBE_EXTRA_PUSH = args.probe_push
