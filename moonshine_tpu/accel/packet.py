@@ -26,6 +26,7 @@ block-shared scalar stack fit it perfectly.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,14 +43,14 @@ from .wide import WideBVH, WIDTH, LEAF_CAP
 # small scene throughput saturates around BLOCK=8192; heavily incoherent
 # big scenes may prefer smaller blocks (divergence) — tune via
 # set_block_size.
-BLOCK = 8192       # VMEM-path packet width
+BLOCK = int(os.environ.get("MSN_BLOCK", "8192"))  # VMEM-path packet width
 # HBM-path packet width. Round-5 clean fresh-process curve (room_184k
 # bounce-1 closest, w24/c24): 512 -> 68.4, 1024 -> 55.9, 2048 -> 64.8,
 # 4096 -> 94.0 ms; anyhit 1024 ~= 2048. The per-visit cost is vector-
 # latency-bound, so halving lanes/block beats the union growth down to
 # 1024 (the earlier in-process sweep that kept 2048 predates the
 # profile_one harness fix — see BASELINE.md round-5).
-HBM_BLOCK = 1024
+HBM_BLOCK = int(os.environ.get("MSN_HBM_BLOCK", "1024"))
 ROWS = BLOCK // 128
 STACK_DEPTH = 512
 # the HBM kernel's stack is shallower (it was sized when each slot carried
