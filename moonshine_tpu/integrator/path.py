@@ -278,7 +278,10 @@ _USE_TREELETS = os.environ.get("MSN_TREELETS", "0") == "1"
 
 # Round-5 A/B knob: compact the NEE shadow batch on delta-carrying scenes
 # even when the state itself is coherence-resorted (see _bounce_body).
-_SHADOW_COMPACT = os.environ.get("MSN_SHADOW_COMPACT", "1") == "1"
+# Measured on the flagship (driver bench, fresh processes): OFF 15.12 /
+# ON 14.98 Mrays/s — the packed-dead-lane win does not cover the two
+# extra 2N-lane sorts, so the re-sort stays opt-in.
+_SHADOW_COMPACT = os.environ.get("MSN_SHADOW_COMPACT", "0") == "1"
 
 
 def _hbm_mode(wide) -> str:
